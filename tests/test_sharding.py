@@ -1,0 +1,177 @@
+"""Mesh / sharding tests on the 8-virtual-CPU-device mesh.
+
+Checks the GSPMD replacement of the reference's distributed machinery:
+batch-sharded InfoNCE == single-device InfoNCE (global-batch semantics of
+the all-gather in ct_clip.py:1329-1330), and a full sharded train step runs
+with dp×tp without changing results.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vit_exp_tpu.core.mesh import MeshConfig, create_mesh, logical_rules
+from vit_exp_tpu.models import losses
+
+
+def _latents(b=8, d=16, seed=0):
+    rng = np.random.default_rng(seed)
+    t = rng.standard_normal((b, d)).astype(np.float32)
+    i = rng.standard_normal((b, d)).astype(np.float32)
+    t /= np.linalg.norm(t, axis=-1, keepdims=True)
+    i /= np.linalg.norm(i, axis=-1, keepdims=True)
+    return jnp.asarray(t), jnp.asarray(i)
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    mesh = create_mesh(MeshConfig(data=-1, fsdp=1, model=2))
+    assert mesh.shape == {"data": 4, "fsdp": 1, "model": 2}
+
+
+def test_infonce_sharded_matches_unsharded():
+    mesh = create_mesh(MeshConfig())
+    t, i = _latents()
+    unsharded = losses.infonce_loss(t, i, jnp.asarray(0.2), local_batch_size=1)
+
+    batch_sh = NamedSharding(mesh, P(("data", "fsdp"), None))
+    t_sh = jax.device_put(t, batch_sh)
+    i_sh = jax.device_put(i, batch_sh)
+
+    @jax.jit
+    def global_loss(t, i):
+        # local batch = 8 global / 8 data shards = 1 (the reference divides
+        # by per-device batch after the gather, ct_clip.py:1379)
+        return losses.infonce_loss(t, i, jnp.asarray(0.2), local_batch_size=1)
+
+    sharded = global_loss(t_sh, i_sh)
+    np.testing.assert_allclose(float(sharded), float(unsharded), rtol=1e-6)
+
+
+def test_sharded_train_step_matches_single_device():
+    """Tiny CTCLIP contrastive step: dp×tp sharded == unsharded."""
+    import flax.linen as nn
+
+    from vit_exp_tpu.core.config import ArchConfig, ExperimentConfig
+    from vit_exp_tpu.core.precision import FP32_POLICY
+    from vit_exp_tpu.models.bert import BertConfig
+    from vit_exp_tpu.models.factory import build_ctclip
+    from vit_exp_tpu.parallel.sharding import param_shardings
+    from vit_exp_tpu.train.optimizer import build_optimizer
+    from vit_exp_tpu.train.steps import create_train_state, make_train_steps
+
+    config = ExperimentConfig.from_dict(
+        {
+            "trainer": {"lr": 1e-3, "wd": 0.01, "max_grad_norm": 1.0},
+            "arch": {
+                "dim": 24, "image_size": 8, "patch_size": 4,
+                "temporal_size": 8, "temporal_patch_size": 4,
+                "transformer_blocks": 1, "dim_head": 4, "heads": 2,
+            },
+        }
+    )
+    model = build_ctclip(
+        config, bert_config=BertConfig.tiny(), policy=FP32_POLICY
+    )
+    rng = jax.random.PRNGKey(0)
+    video = jnp.asarray(
+        np.random.default_rng(0).standard_normal((8, 1, 8, 8, 8)),
+        jnp.float32,
+    )
+    ids = jnp.asarray(
+        np.random.default_rng(1).integers(0, 100, (8, 12)), jnp.int32
+    )
+    mask = jnp.ones((8, 12), jnp.int32)
+
+    boxed = model.init(rng, video[:1], ids[:1], mask[:1])
+    params = nn.unbox(boxed)["params"]
+
+    tx = build_optimizer(config.trainer)
+    steps = make_train_steps(model, tx, config, n_data_shards=8)
+    batch = {"image": video, "input_ids": ids, "attention_mask": mask}
+
+    # single device run (copy params — the step donates its input state)
+    params_single = jax.tree_util.tree_map(jnp.copy, params)
+    state0 = create_train_state(params_single, tx)
+    _, metrics_single = steps["imagereport"](state0, batch, 1.0)
+
+    # sharded run: params via logical rules, batch over (data, fsdp)
+    mesh = create_mesh(MeshConfig(data=-1, fsdp=1, model=2))
+    rules = logical_rules()
+    shardings = nn.unbox(param_shardings(mesh, rules, boxed))["params"]
+    params_sh = jax.device_put(params, shardings)
+    batch_sh = {
+        k: jax.device_put(
+            v,
+            NamedSharding(mesh, P(("data", "fsdp"), *([None] * (v.ndim - 1)))),
+        )
+        for k, v in batch.items()
+    }
+    state_sh = create_train_state(params_sh, tx)
+    _, metrics_sh = steps["imagereport"](state_sh, batch_sh, 1.0)
+
+    np.testing.assert_allclose(
+        float(metrics_sh["cl_loss"]), float(metrics_single["cl_loss"]),
+        rtol=2e-5,
+    )
+
+
+def test_seg_and_openseg_steps_run():
+    import flax.linen as nn
+
+    from vit_exp_tpu.core.config import ExperimentConfig
+    from vit_exp_tpu.core.precision import FP32_POLICY
+    from vit_exp_tpu.models.bert import BertConfig
+    from vit_exp_tpu.models.factory import build_ctclip
+    from vit_exp_tpu.train.optimizer import build_optimizer
+    from vit_exp_tpu.train.steps import create_train_state, make_train_steps
+
+    config = ExperimentConfig.from_dict(
+        {
+            "trainer": {"lr": 1e-3},
+            "arch": {
+                "dim": 24, "image_size": 8, "patch_size": 4,
+                "temporal_size": 8, "temporal_patch_size": 4,
+                "transformer_blocks": 1, "dim_head": 4, "heads": 2,
+            },
+            "ct_clip_arch": {
+                "use_seg": True,
+                "seg_head": {"head_out_dim": 3, "head_in_dim": 24},
+                "use_open_seg": True,
+                "open_seg_head": {"out_dim": 8, "in_dim": 24},
+                "open_text_head": {"out_dim": 8, "in_dim": 36},
+                "open_seg_loss_type": "clip_focal_loss",
+                "open_seg_loss_down_factor": 2,
+            },
+        }
+    )
+    model = build_ctclip(
+        config, bert_config=BertConfig.tiny(), policy=FP32_POLICY
+    )
+    from vit_exp_tpu.models.ctclip import CTCLIP
+
+    video = jnp.ones((1, 1, 8, 8, 8), jnp.float32)
+    ids = jnp.ones((1, 12), jnp.int32)
+    boxed = model.init(
+        jax.random.PRNGKey(0), video, ids, method=CTCLIP.init_all
+    )
+    params = nn.unbox(boxed)["params"]
+    tx = build_optimizer(config.trainer)
+    steps = make_train_steps(model, tx, config)
+    state = create_train_state(params, tx)
+
+    seg_mask = jnp.zeros((1, 3, 8, 8, 8), jnp.float32)
+    state, m = steps["imageseg"](state, {"image": video, "seg_mask": seg_mask}, 1.0)
+    assert np.isfinite(float(m["seg_loss"]))
+
+    open_mask = jnp.zeros((1, 4, 8, 8, 8), jnp.float32).at[:, 1].set(1.0)
+    prompt_ids = jnp.ones((4, 12), jnp.int32)
+    state, m = steps["imageopenseg"](
+        state,
+        {"image": video, "seg_mask": open_mask, "prompt_ids": prompt_ids},
+        1.0,
+    )
+    assert np.isfinite(float(m["open_seg_loss"]))

@@ -1,0 +1,138 @@
+"""Threaded prefetching batch loader (torch-DataLoader replacement).
+
+The reference cycles torch DataLoaders with worker processes
+(CTCLIPTrainer.py:346-393, data.py:316-336).  Here: a thread pool loads and
+collates numpy batches ahead of consumption (npz decompression releases the
+GIL), and the consumer overlaps host→device transfer with compute by
+keeping `prefetch` batches in flight.  String fields are collated to lists;
+per-class prompt tensors that repeat across samples are collapsed to one
+copy (the trainer feeds them batch-free, ct_clip.py:1060-1070 semantics).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+_SHARED_KEYS = {"prompt_ids", "prompt_mask"}
+_META_KEYS = {"data_type"}
+
+
+def collate(items: List[Dict]) -> Dict:
+    out: Dict = {}
+    for key in items[0]:
+        vals = [item[key] for item in items]
+        if key in _META_KEYS:
+            out[key] = vals[0]
+        elif key in _SHARED_KEYS:
+            out[key] = np.asarray(vals[0])
+        elif isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals)
+        elif isinstance(vals[0], (int, float, np.floating, np.integer)):
+            out[key] = np.asarray(vals)
+        else:
+            out[key] = vals
+    return out
+
+
+class Loader:
+    """One pass over the dataset in batches."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        *,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = False,
+        num_workers: int = 4,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _batch_indices(self) -> List[List[int]]:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            rng.shuffle(idx)
+        batches = [
+            idx[i:i + self.batch_size].tolist()
+            for i in range(0, len(idx), self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        return batches
+
+    def __iter__(self) -> Iterator[Dict]:
+        batches = self._batch_indices()
+        self.epoch += 1
+        if not batches:
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def load_batch(indices):
+            return collate([self.dataset[i] for i in indices])
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                futures = [pool.submit(load_batch, b) for b in batches]
+                for fut in futures:
+                    if stop.is_set():
+                        fut.cancel()
+                        continue
+                    try:
+                        q.put(("ok", fut.result()))
+                    except Exception as e:  # surface loader errors downstream
+                        q.put(("err", e))
+                        return
+            q.put(("done", None))
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                kind, payload = q.get()
+                if kind == "done":
+                    return
+                if kind == "err":
+                    raise payload
+                yield payload
+        finally:
+            stop.set()
+
+
+class InfiniteLoader:
+    """Endless cycling iterator (the trainer's cycle(), CTCLIPTrainer.py:393)."""
+
+    def __init__(self, loader: Loader):
+        self.loader = loader
+        self._it = iter(loader)
+
+    def __next__(self) -> Dict:
+        while True:
+            try:
+                return next(self._it)
+            except StopIteration:
+                self._it = iter(self.loader)
+
+    def __iter__(self):
+        return self

@@ -1,0 +1,219 @@
+"""Zero-shot classification / segmentation engines.
+
+Parity with scripts/zero_shot.py:
+- 18 CT-RATE pathologies, two prompts each, "{p} is present."/"{p} is not
+  present." (zero_shot.py:482-487);
+- the FAST engine semantics (CTClipInferenceFast, zero_shot.py:387-627):
+  36 text latents embedded ONCE per run; ONE image encode per volume; the
+  pairwise score is softmax([present, absent]) over cosine×exp(temp);
+- results: per-label AUROC via eval/metrics.evaluate_internal, plus raw
+  predicted/labels arrays and accession list for offline artifacts.
+
+TPU-first differences: volumes are scored in BATCHES inside one jitted
+program (encode → project → 36 scores → 18 softmax pairs fused by XLA)
+instead of a python loop of 18 per-pathology calls; the data loader
+prefetches and pads the tail batch.  The reference's "multi-GPU" checkpoint
+sweep (run_zero_shot_cls_multi_gpu_*.py) stays a driver-level loop —
+eval/sweep.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vit_exp_tpu.eval.metrics import evaluate_internal
+from vit_exp_tpu.models.ctclip import CTCLIP
+
+PATHOLOGIES: List[str] = [
+    "Medical material", "Arterial wall calcification", "Cardiomegaly",
+    "Pericardial effusion", "Coronary artery wall calcification",
+    "Hiatal hernia", "Lymphadenopathy", "Emphysema", "Atelectasis",
+    "Lung nodule", "Lung opacity", "Pulmonary fibrotic sequela",
+    "Pleural effusion", "Mosaic attenuation pattern",
+    "Peribronchial thickening", "Consolidation", "Bronchiectasis",
+    "Interlobular septal thickening",
+]
+
+
+def build_pathology_prompts(
+    pathologies: Sequence[str] = PATHOLOGIES,
+) -> List[str]:
+    """[p0 present, p0 absent, p1 present, ...] — 2 per pathology."""
+    prompts = []
+    for p in pathologies:
+        prompts.append(f"{p} is present.")
+        prompts.append(f"{p} is not present.")
+    return prompts
+
+
+class ZeroShotClassifier:
+    """Batched FAST zero-shot engine."""
+
+    def __init__(
+        self,
+        model: CTCLIP,
+        params,
+        tokenizer,
+        *,
+        pathologies: Sequence[str] = PATHOLOGIES,
+        max_text_len: int = 512,
+        batch_size: int = 4,
+    ):
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+        self.pathologies = list(pathologies)
+        self.max_text_len = max_text_len
+        self.batch_size = batch_size
+
+        @jax.jit
+        def _text_latents(params, ids, mask):
+            hidden = model.apply({"params": params}, ids, mask,
+                                 method=CTCLIP.encode_text_hidden)
+            return model.apply({"params": params}, hidden,
+                               method=CTCLIP.text_latents_from_hidden)
+
+        @jax.jit
+        def _probs(params, video, text_latents):
+            tokens = model.apply({"params": params}, video,
+                                 method=CTCLIP.encode_image_tokens)
+            img = model.apply({"params": params}, tokens,
+                              method=CTCLIP.image_latents_from_tokens)
+            temp = jnp.exp(params["temperature"])
+            scores = (img @ text_latents.T) * temp
+            pairs = scores.reshape(img.shape[0], len(self.pathologies), 2)
+            return jax.nn.softmax(pairs, axis=-1)[..., 0]
+
+        self._text_latents_fn = _text_latents
+        self._probs_fn = _probs
+        self._cached_text = None
+
+    def prepare(self):
+        """Embed the 36 prompts once (prepare_infer, zero_shot.py:480-497)."""
+        toks = self.tokenizer(
+            build_pathology_prompts(self.pathologies),
+            max_length=self.max_text_len,
+        )
+        self._cached_text = self._text_latents_fn(
+            self.params, jnp.asarray(toks["input_ids"]),
+            jnp.asarray(toks["attention_mask"]),
+        )
+        return self._cached_text
+
+    def predict_batch(self, volumes: np.ndarray) -> np.ndarray:
+        """(B, 1, D, H, W) → (B, n_pathologies) P(present)."""
+        if self._cached_text is None:
+            self.prepare()
+        return np.asarray(
+            self._probs_fn(self.params, jnp.asarray(volumes),
+                           self._cached_text)
+        )
+
+    def infer(
+        self,
+        dataset,
+        *,
+        results_folder: Optional[str] = None,
+        limit: Optional[int] = None,
+    ) -> Dict[str, float]:
+        """Iterate an inference dataset, return per-label AUROC dict
+        (infer_return_res_dict semantics, zero_shot.py:604-611)."""
+        if limit is None and os.environ.get("CTCLIP_DEBUG"):
+            limit = 10  # reference debug truncation (zero_shot.py:625-626)
+        n = min(len(dataset), limit) if limit else len(dataset)
+
+        preds, labels, accessions = [], [], []
+        t0 = time.perf_counter()
+        batch_imgs, batch_meta = [], []
+
+        def flush():
+            if not batch_imgs:
+                return
+            stack = np.stack(batch_imgs)
+            pad = self.batch_size - len(batch_imgs)
+            if pad:
+                stack = np.concatenate(
+                    [stack, np.repeat(stack[-1:], pad, axis=0)]
+                )
+            p = self.predict_batch(stack)[: len(batch_imgs)]
+            preds.extend(p)
+            for onehot, acc in batch_meta:
+                labels.append(onehot)
+                accessions.append(acc)
+            batch_imgs.clear()
+            batch_meta.clear()
+
+        for i in range(n):
+            item = dataset[i]
+            batch_imgs.append(item["image"])
+            batch_meta.append((item["onehot"], item["accession"]))
+            if len(batch_imgs) == self.batch_size:
+                flush()
+        flush()
+
+        y_pred = np.asarray(preds)
+        y_true = np.asarray(labels)
+        res = evaluate_internal(y_pred, y_true, self.pathologies)
+        res["volumes_per_sec"] = n / (time.perf_counter() - t0)
+
+        if results_folder:
+            os.makedirs(results_folder, exist_ok=True)
+            np.savez(os.path.join(results_folder, "predicted.npz"), y_pred)
+            np.savez(os.path.join(results_folder, "labels.npz"), y_true)
+            with open(os.path.join(results_folder, "accessions.txt"), "w") as f:
+                f.writelines(f"{a}\n" for a in accessions)
+            with open(os.path.join(results_folder, "aurocs.json"), "w") as f:
+                json.dump(res, f, indent=2)
+        return res
+
+
+class ZeroShotSegmenter:
+    """Closed-set seg dice runner (CTClipInferenceSeg, zero_shot.py:908-1101)."""
+
+    def __init__(self, model: CTCLIP, params, *, batch_size: int = 1):
+        self.model = model
+        self.params = params
+        self.batch_size = batch_size
+
+        @jax.jit
+        def _dice(params, video, seg_mask):
+            from vit_exp_tpu.models.losses import dice_scores
+
+            logits = model.apply({"params": params}, video,
+                                 method=CTCLIP.seg_forward)
+            return dice_scores(logits, seg_mask)
+
+        self._dice_fn = _dice
+
+    def infer(
+        self, dataset, *, results_folder: Optional[str] = None,
+        limit: Optional[int] = None,
+    ) -> Dict[str, float]:
+        n = min(len(dataset), limit) if limit else len(dataset)
+        all_dice = []
+        for i in range(n):
+            item = dataset[i]
+            d = self._dice_fn(
+                self.params, jnp.asarray(item["image"][None]),
+                jnp.asarray(item["seg_mask"][None]),
+            )
+            all_dice.append(np.asarray(d))
+        dice = np.nanmean(np.stack(all_dice), axis=0)
+        res = {f"dice_class_{i}": float(v) for i, v in enumerate(dice)}
+        res["mean_dice"] = float(np.nanmean(dice))
+        if results_folder:
+            os.makedirs(results_folder, exist_ok=True)
+            np.save(os.path.join(results_folder, "dice_scores.npy"),
+                    np.stack(all_dice))
+            with open(os.path.join(results_folder, "dice_scores.txt"), "w") as f:
+                for k, v in res.items():
+                    f.write(f"{k}: {v}\n")
+        return res

@@ -1,0 +1,185 @@
+"""CTViT3D — the production 3D ViT image tower, TPU-native.
+
+Capability parity with transformer_maskgit/ctvit3d.py:175-490:
+- 3D patch embedding 'b c (t pt)(h p1)(w p2) → b t h w (c·pt·p1·p2)' followed
+  by LN → Linear → LN (ctvit3d.py:239-244);
+- fixed 3D sin-cos position embedding (ctvit3d.py:121-169, ops/posemb.py);
+- one joint transformer over all t·h·w tokens (ctvit3d.py:258): depth ×
+  [cosine-sim attention with 2 null kv, GEGLU feedforward], residual, final
+  gamma-only layernorm (attention.py:386-452);
+- `patch_voxel_nums` property for the segmentation un-patchify
+  (ctvit3d.py:221).
+
+TPU-first choices: attention runs through the Pallas flash kernel
+(ops/flash_attention.py) or the XLA einsum path; all matmuls bf16 on the MXU
+with fp32 softmax/layernorm; heads/mlp carry logical axes for optional tensor
+parallelism; the decode/VQGAN paths of the reference (dead-coded there) are
+deliberately not ported — CTViT3D is encoder-only in every production config.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vit_exp_tpu.core.precision import Policy, DEFAULT_POLICY
+from vit_exp_tpu.models.layers import (
+    BiasLayerNorm,
+    GEGLUFeedForward,
+    PDense,
+    ScaleLayerNorm,
+    _logical_init,
+)
+from vit_exp_tpu.ops.attention import cosine_attention
+from vit_exp_tpu.ops.patches import patchify_3d
+from vit_exp_tpu.ops.posemb import sincos_pos_embed_3d
+
+
+class CosineSelfAttention(nn.Module):
+    """QK-l2norm self-attention with learned per-dim q/k scales and null kv.
+
+    Parity: transformer_maskgit/attention.py:189-284 (FlashAttention class;
+    scale=None → the SDPA 1/sqrt(dim_head) convention production checkpoints
+    use).  Set scale=8.0 for the naive-path convention (attention.py:94-187).
+    """
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 32
+    num_null_kv: int = 2
+    scale: Optional[float] = None
+    attn_impl: str = "xla"
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        b, n, _ = x.shape
+        inner = self.heads * self.dim_head
+        x = ScaleLayerNorm(policy=self.policy, name="norm")(x)
+        q = PDense(inner, axes=("embed", "heads"), use_bias=False,
+                   policy=self.policy, name="to_q")(x)
+        kv = PDense(inner * 2, axes=("embed", "heads"), use_bias=False,
+                    policy=self.policy, name="to_kv")(x)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        def heads_first(t):
+            return t.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = heads_first(q), heads_first(k), heads_first(v)
+
+        null_kv = self.param(
+            "null_kv",
+            _logical_init(nn.initializers.normal(1.0), ("heads", None, "kv")),
+            (self.heads, 2 * self.num_null_kv, self.dim_head),
+            self.policy.param_dtype,
+        )
+        # layout parity with attention.py:152: 'h (n r) d' with r=2 → unbind
+        # the r axis: k rows are the even entries, v rows the odd ones
+        nkv = null_kv.reshape(self.heads, self.num_null_kv, 2, self.dim_head)
+        null_k, null_v = nkv[:, :, 0], nkv[:, :, 1]
+
+        q_scale = self.param(
+            "q_scale", _logical_init(nn.initializers.ones_init(), ("kv",)),
+            (self.dim_head,), self.policy.param_dtype,
+        )
+        k_scale = self.param(
+            "k_scale", _logical_init(nn.initializers.ones_init(), ("kv",)),
+            (self.dim_head,), self.policy.param_dtype,
+        )
+
+        out = cosine_attention(
+            q, k, v,
+            null_k=null_k, null_v=null_v,
+            q_scale=q_scale, k_scale=k_scale,
+            scale=self.scale, mask=mask, impl=self.attn_impl,
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        return PDense(self.dim, axes=("heads", "embed"), use_bias=False,
+                      policy=self.policy, name="to_out")(out)
+
+
+class TransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    dim_head: int
+    scale: Optional[float]
+    attn_impl: str
+    ff_mult: float = 4.0
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        x = x + CosineSelfAttention(
+            dim=self.dim, heads=self.heads, dim_head=self.dim_head,
+            scale=self.scale, attn_impl=self.attn_impl, policy=self.policy,
+            name="attn",
+        )(x, mask=mask)
+        x = x + GEGLUFeedForward(
+            dim=self.dim, mult=self.ff_mult, policy=self.policy, name="ff"
+        )(x)
+        return x
+
+
+class CTViT3D(nn.Module):
+    dim: int = 768
+    image_size: int = 480
+    patch_size: int = 20
+    temporal_size: int = 240
+    temporal_patch_size: int = 10
+    transformer_blocks: int = 8
+    dim_head: int = 32
+    heads: int = 8
+    channels: int = 1
+    # None → SDPA 1/sqrt(dim_head) convention (production); 8.0 → naive path
+    attn_scale: Optional[float] = None
+    attn_impl: str = "xla"
+    remat: bool = False
+    policy: Policy = DEFAULT_POLICY
+
+    @property
+    def grid(self) -> tuple[int, int, int]:
+        return (
+            self.temporal_size // self.temporal_patch_size,
+            self.image_size // self.patch_size,
+            self.image_size // self.patch_size,
+        )
+
+    @property
+    def patch_voxel_nums(self) -> int:
+        return self.patch_size * self.patch_size * self.temporal_patch_size
+
+    @nn.compact
+    def __call__(self, video: jnp.ndarray) -> jnp.ndarray:
+        """video: (b, c, T, H, W) → encoded tokens (b, t, h, w, dim).
+
+        Equivalent of reference forward(..., return_encoded_tokens=True)
+        (ctvit3d.py:431-490) — the only forward mode the CLIP stack uses.
+        """
+        b = video.shape[0]
+        n_t, n_h, n_w = self.grid
+        x = patchify_3d(
+            video.astype(self.policy.compute_dtype),
+            self.temporal_patch_size, self.patch_size, self.patch_size,
+        )
+        x = BiasLayerNorm(policy=self.policy, name="patch_norm_in")(x)
+        x = PDense(self.dim, axes=(None, "embed"), policy=self.policy,
+                   name="patch_proj")(x)
+        x = BiasLayerNorm(policy=self.policy, name="patch_norm_out")(x)
+
+        x = x.reshape(b, n_t * n_h * n_w, self.dim)
+        pos = sincos_pos_embed_3d(self.dim, (n_t, n_h, n_w))
+        x = x + jnp.asarray(pos, self.policy.compute_dtype)[None]
+
+        block = TransformerBlock
+        if self.remat:
+            block = nn.remat(TransformerBlock, prevent_cse=False)
+        for i in range(self.transformer_blocks):
+            x = block(
+                dim=self.dim, heads=self.heads, dim_head=self.dim_head,
+                scale=self.attn_scale, attn_impl=self.attn_impl,
+                policy=self.policy, name=f"block{i}",
+            )(x)
+        x = ScaleLayerNorm(policy=self.policy, name="norm_out")(x)
+        return x.reshape(b, n_t, n_h, n_w, self.dim)

@@ -1,0 +1,61 @@
+"""Model factory: ExperimentConfig → CTCLIP module.
+
+Equivalent of scripts/run_train.py:30-67 create_img_encoder + CTCLIP
+construction (run_train.py:143-154).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from vit_exp_tpu.core.config import ArchConfig, ExperimentConfig
+from vit_exp_tpu.core.precision import Policy, DEFAULT_POLICY
+from vit_exp_tpu.models.bert import BertConfig
+from vit_exp_tpu.models.ctclip import CTCLIP
+from vit_exp_tpu.models.ctvit3d import CTViT3D
+
+
+def build_image_encoder(
+    arch: ArchConfig, *, attn_impl: str = "xla", remat: bool = False,
+    policy: Policy = DEFAULT_POLICY,
+) -> CTViT3D:
+    assert arch.arch_name in ("ctvit_3d", "ctvit3d", "ct_vit_3d"), arch.arch_name
+    return CTViT3D(
+        dim=arch.dim,
+        image_size=arch.image_size,
+        patch_size=arch.patch_size,
+        temporal_size=arch.temporal_size,
+        temporal_patch_size=arch.temporal_patch_size,
+        transformer_blocks=arch.transformer_blocks,
+        dim_head=arch.dim_head,
+        heads=arch.heads,
+        channels=arch.channels,
+        # production reference path is SDPA (use_flash_attention: true) whose
+        # scale convention is 1/sqrt(dim_head); the naive path used scale=8
+        attn_scale=None if arch.use_flash_attention else 8.0,
+        attn_impl=attn_impl,
+        remat=remat,
+        policy=policy,
+    )
+
+
+def build_ctclip(
+    config: ExperimentConfig,
+    *,
+    bert_config: Optional[BertConfig] = None,
+    attn_impl: str = "xla",
+    remat: bool = False,
+    policy: Policy = DEFAULT_POLICY,
+) -> CTCLIP:
+    visual = build_image_encoder(
+        config.arch, attn_impl=attn_impl, remat=remat, policy=policy
+    )
+    return CTCLIP(
+        visual=visual,
+        bert_config=bert_config or BertConfig(),
+        dim_text=768,
+        dim_image=config.arch.dim,
+        dim_latent=768,
+        clip_arch=config.ct_clip_arch,
+        policy=policy,
+    )

@@ -1,0 +1,101 @@
+"""Cosine-similarity attention — the CTViT3D attention primitive.
+
+Semantics match transformer_maskgit/attention.py:94-284:
+  1. null key/value pairs (learned, per-head) are prepended to k/v;
+  2. q and k are L2-normalized along the head dim;
+  3. q/k are multiplied by learned per-dim scales (q_scale/k_scale);
+  4. logits = (q k^T) * scale, softmax, weighted sum of v.
+
+Two scale conventions exist in the reference and both are supported:
+  - the naive einsum path uses a fixed ``scale = 8`` (attention.py:106,165);
+  - the production flash path calls torch SDPA, whose implicit scale is
+    ``1/sqrt(dim_head)`` and which ignores the module's ``scale=8``
+    (attention.py:257).  Pass ``scale=None`` for this convention — it is what
+    production checkpoints were trained with.
+
+`impl` selects the compute path:
+  - "xla":    einsum + fp32 softmax; XLA fuses it; reference for parity.
+  - "pallas": blockwise flash kernel (ops/flash_attention.py) with the null
+              kv folded into the online-softmax initial state.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def l2norm(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Normalize the last axis; matches torch F.normalize(dim=-1) semantics
+    (norm clamped below at eps)."""
+    n = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True))
+    return (x / jnp.maximum(n, eps).astype(x.dtype)).astype(x.dtype)
+
+
+def _xla_attention(q, k, v, scale, mask):
+    logits = jnp.einsum(
+        "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum(
+        "bhij,bhjd->bhid", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(v.dtype)
+
+
+def cosine_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    null_k: Optional[jnp.ndarray] = None,
+    null_v: Optional[jnp.ndarray] = None,
+    q_scale: Optional[jnp.ndarray] = None,
+    k_scale: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    mask: Optional[jnp.ndarray] = None,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """q, k, v: (b, h, n, d).  null_k/null_v: (h, n_null, d).  q_scale/k_scale:
+    (d,).  mask: broadcastable to (b, h, n_q, n_kv) with True = attend.
+    Returns (b, h, n, d)."""
+    b, h, n, d = q.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+
+    n_null = 0
+    if null_k is not None:
+        n_null = null_k.shape[1]
+        nk = jnp.broadcast_to(null_k[None], (b, h, n_null, d)).astype(k.dtype)
+        nv = jnp.broadcast_to(null_v[None], (b, h, n_null, d)).astype(v.dtype)
+        k = jnp.concatenate([nk, k], axis=2)
+        v = jnp.concatenate([nv, v], axis=2)
+        if mask is not None:
+            null_mask = jnp.ones(mask.shape[:-1] + (n_null,), dtype=bool)
+            mask = jnp.concatenate([null_mask, mask], axis=-1)
+
+    q = l2norm(q)
+    k = l2norm(k)
+    if q_scale is not None:
+        q = q * q_scale.astype(q.dtype)
+    if k_scale is not None:
+        k = k * k_scale.astype(k.dtype)
+
+    if impl == "xla":
+        return _xla_attention(q, k, v, scale, mask)
+    if impl == "pallas":
+        from vit_exp_tpu.ops.flash_attention import flash_attention
+
+        if mask is not None:
+            raise NotImplementedError("pallas path does not take a mask yet")
+        if n_null:
+            # peel the null kv back off and fold into the kernel's init state
+            nk, nv = k[:, :, :n_null], v[:, :, :n_null]
+            k, v = k[:, :, n_null:], v[:, :, n_null:]
+            return flash_attention(q, k, v, scale=scale, null_k=nk, null_v=nv)
+        return flash_attention(q, k, v, scale=scale)
+    raise ValueError(f"unknown attention impl {impl!r}")

@@ -1,0 +1,357 @@
+"""Pallas TPU flash attention (forward + backward) for the CTViT3D tower.
+
+Replaces the reference's torch SDPA call (transformer_maskgit/attention.py:257)
+with a blockwise online-softmax kernel (native-kernel obligation #1,
+SURVEY.md §2.9).  The cosine-sim preprocessing (l2norm, learned q/k scales,
+null kv concat) happens OUTSIDE the kernel in ops/attention.py, so this
+kernel is a clean sdpa: softmax(q k^T * scale) v with fp32 accumulation.
+
+Design notes
+- Sequence length here is ~13.8k tokens (24³ patches): logits never fit in
+  VMEM, hence the classic three-matmul-loop flash structure with running
+  (m, l, acc) carried across k-blocks in VMEM scratch.
+- head_dim is 32 in the production config; we zero-pad it to 128 lanes in
+  the wrapper (zero columns change neither logits nor the attended output).
+- Ragged kv lengths (the +2 null kv) are handled by padding kv to a block
+  multiple and masking the tail block's columns.
+- Backward = two kernels (dq, then dk/dv) recomputing probabilities from the
+  saved log-sum-exp, the standard flash backward split.
+- grid dims (batch*heads, q_block) are parallel (megacore-friendly); the
+  kv-block dim is an accumulation ("arbitrary") dim.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pad_axis(x, target, axis, value=0.0):
+    pad = target - x.shape[axis]
+    if pad == 0:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, pad)
+    return jnp.pad(x, cfg, constant_values=value)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *rest, scale, kv_len, block_k,
+                save_lse):
+    if save_lse:
+        lse_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        m_ref, l_ref, acc_ref = rest
+    ik = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    if kv_len % block_k != 0:
+        # mask padded kv columns in the tail block
+        col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < kv_len, logits, NEG_INF)
+
+    m_prev = m_ref[:, :1]
+    m_cur = jnp.max(logits, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(logits - m_new)
+    correction = jnp.exp(m_prev - m_new)
+    l_new = correction * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * correction + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ik == n_k - 1)
+    def _finish():
+        l = l_ref[:, :1]
+        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+        if save_lse:
+            lse_ref[0] = m_ref[:, :1] + jnp.log(l)
+
+
+def _flash_fwd(q, k, v, scale, kv_len, block_q, block_k, interpret,
+               save_lse):
+    """q: (bh, nq, dp); k/v: (bh, nkv_padded, dp).  Returns (out, lse) with
+    lse laid out (bh, nq, 1) — a lane-1 trailing dim keeps the TPU block
+    tiling legal without the official kernel's 128-lane broadcast waste —
+    or (out, None) on the inference path (save_lse=False)."""
+    bh, nq, dp = q.shape
+    nkv = k.shape[1]
+    grid = (bh, nq // block_q, nkv // block_k)
+    out_specs = [pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0))]
+    out_shape = [jax.ShapeDtypeStruct((bh, nq, dp), q.dtype)]
+    if save_lse:
+        out_specs.append(
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0))
+        )
+        out_shape.append(jax.ShapeDtypeStruct((bh, nq, 1), jnp.float32))
+    res = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, scale=scale, kv_len=kv_len, block_k=block_k,
+            save_lse=save_lse,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, dp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    if save_lse:
+        return res[0], res[1]
+    return res[0], None
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_ref,
+               *, scale, kv_len, block_k):
+    ik = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if kv_len % block_k != 0:
+        col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < kv_len, logits, NEG_INF)
+    p = jnp.exp(logits - lse_ref[0])
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0]) * scale
+    acc_ref[...] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ik == n_k - 1)
+    def _finish():
+        dq_ref[0] = acc_ref[...].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, dk_acc, dv_acc, *, scale, kv_len, block_k):
+    iq = pl.program_id(2)
+    n_q = pl.num_programs(2)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    # logits^T: (block_k, block_q)
+    logits_t = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if kv_len % block_k != 0:
+        row = pl.program_id(1) * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, logits_t.shape, 0
+        )
+        logits_t = jnp.where(row < kv_len, logits_t, NEG_INF)
+    p_t = jnp.exp(logits_t - lse_ref[0][:, 0][None, :])
+    dv_acc[...] += jax.lax.dot_general(
+        p_t.astype(do_ref.dtype), do_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp_t = jax.lax.dot_general(
+        v_ref[0], do_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds_t = p_t * (dp_t - delta_ref[0][:, 0][None, :]) * scale
+    dk_acc[...] += jax.lax.dot_general(
+        ds_t.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(iq == n_q - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd(res, g, scale, kv_len, block_q, block_k, interpret):
+    q, k, v, out, lse = res
+    bh, nq, dp = q.shape
+    nkv = k.shape[1]
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
+        keepdims=True,
+    )
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, kv_len=kv_len, block_k=block_k),
+        grid=(bh, nq // block_q, nkv // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, nq, dp), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, dp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, g, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, kv_len=kv_len, block_k=block_k),
+        grid=(bh, nkv // block_k, nq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_q, dp), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, dp), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, j, i: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nkv, dp), k.dtype),
+            jax.ShapeDtypeStruct((bh, nkv, dp), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, dp), jnp.float32),
+            pltpu.VMEM((block_k, dp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, g, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# public wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7)
+)
+def _flash_core(q, k, v, scale, kv_len, block_q, block_k, interpret):
+    out, _ = _flash_fwd(q, k, v, scale, kv_len, block_q, block_k, interpret,
+                        save_lse=False)
+    return out
+
+
+def _flash_core_fwd(q, k, v, scale, kv_len, block_q, block_k, interpret):
+    out, lse = _flash_fwd(q, k, v, scale, kv_len, block_q, block_k, interpret,
+                          save_lse=True)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_core_bwd(scale, kv_len, block_q, block_k, interpret, res, g):
+    return _flash_bwd(res, g, scale, kv_len, block_q, block_k, interpret)
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: Optional[float] = None,
+    null_k: Optional[jnp.ndarray] = None,
+    null_v: Optional[jnp.ndarray] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """softmax(q k^T * scale) v over (b, h, n, d) inputs.
+
+    null_k/null_v, if given, are (b, h, n_null, d) extra kv entries prepended
+    to the sequence (the CTViT3D null kv, attention.py:152-155).
+    """
+    b, h, nq, d = q.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if interpret is None:
+        interpret = _interpret_default()
+    if null_k is not None:
+        k = jnp.concatenate([null_k.astype(k.dtype), k], axis=2)
+        v = jnp.concatenate([null_v.astype(v.dtype), v], axis=2)
+    nkv = k.shape[2]
+
+    block_q = min(block_q, max(nq, 8))
+    block_k = min(block_k, max(nkv, 8))
+    nq_pad = -(-nq // block_q) * block_q
+    nkv_pad = -(-nkv // block_k) * block_k
+    dp = max(-(-d // LANES) * LANES, LANES)
+
+    def prep(x, n_pad):
+        x = _pad_axis(_pad_axis(x, n_pad, axis=2), dp, axis=3)
+        return x.reshape(b * h, n_pad, dp)
+
+    qp, kp, vp = prep(q, nq_pad), prep(k, nkv_pad), prep(v, nkv_pad)
+    # static kv_len drives tail-block masking; q padding is harmless (extra
+    # rows attend to real kv and are sliced off)
+    out = _flash_core(qp, kp, vp, scale, nkv, block_q, block_k, interpret)
+    return out.reshape(b, h, nq_pad, dp)[:, :, :nq, :d]

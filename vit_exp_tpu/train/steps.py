@@ -1,0 +1,168 @@
+"""Jitted per-data-type train steps.
+
+Mirrors the reference dispatch (ct_clip.py:857-867) as SEPARATE jitted
+functions per data type — batch shapes differ between imagereport / imageseg
+/ imageopenseg, so one compiled program per type avoids retracing storms
+(SURVEY.md §7 hard-part #6).  The trainer (train/trainer.py) picks which to
+call per micro-batch from the DatasetSampler schedule and lets
+optax.MultiSteps apply the update every k micro-steps (the accelerate
+`accumulate` equivalent, CTCLIPTrainer.py:593-600).
+
+Sharding: params are laid out by their logical axes; batches are sharded on
+(data, fsdp).  The global-batch InfoNCE is written over global latents — XLA
+inserts the all-gather over ICI (replacing distributed.py:9-20) and its
+transpose (the reduce-scatter backward) automatically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+
+from vit_exp_tpu.core.config import ExperimentConfig
+from vit_exp_tpu.models import losses
+from vit_exp_tpu.models.ctclip import CTCLIP
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32
+
+
+def create_train_state(params, tx) -> TrainState:
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _apply_update(state: TrainState, grads, tx) -> TrainState:
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return TrainState(new_params, new_opt, state.step + 1)
+
+
+def make_train_steps(
+    model: CTCLIP,
+    tx: optax.GradientTransformation,
+    config: ExperimentConfig,
+    *,
+    n_data_shards: int = 1,
+) -> Dict[str, Callable]:
+    """Returns {data_type: jitted step fn}.  Each fn:
+    (state, batch_dict, loss_weight) → (state, metrics_dict)."""
+
+    def imagereport_loss(params, batch):
+        out = model.apply(
+            {"params": params}, batch["image"], batch["input_ids"],
+            batch.get("attention_mask"),
+        )
+        global_b = out["text_latents"].shape[0]
+        local_b = max(global_b // n_data_shards, 1)
+        loss = losses.infonce_loss(
+            out["text_latents"], out["image_latents"], out["temperature"],
+            local_batch_size=local_b,
+        )
+        return loss, {"cl_loss": loss}
+
+    def imageseg_loss(params, batch):
+        seg_logits = model.apply(
+            {"params": params}, batch["image"], method=CTCLIP.seg_forward
+        )
+        loss = losses.seg_bce_loss(seg_logits, batch["seg_mask"])
+        return loss, {"seg_loss": loss}
+
+    def imageopenseg_loss(params, batch):
+        out = model.apply(
+            {"params": params}, batch["image"], batch["prompt_ids"],
+            batch.get("prompt_mask"),
+            method=CTCLIP.open_seg_forward,
+        )
+        factor = config.ct_clip_arch.open_seg_loss_down_factor
+        seg_mask = batch["seg_mask"]
+        if factor > 1:
+            seg_mask = seg_mask[:, :, ::factor, ::factor, ::factor]
+        b, c = seg_mask.shape[:2]
+        seg_mask_flat = seg_mask.transpose(0, 2, 3, 4, 1).reshape(b, -1, c)
+
+        fusion_apply = None
+        if config.ct_clip_arch.fusion_head is not None:
+            def fusion_apply(x):
+                return model.apply(
+                    {"params": params}, x, method=CTCLIP.apply_fusion_head
+                )
+
+        loss = losses.open_seg_loss(
+            out["seg_preds"], seg_mask_flat, out["prompt_logits"],
+            loss_type=config.ct_clip_arch.open_seg_loss_type,
+            hyper=config.ct_clip_arch.open_seg_loss_hyper_config,
+            fusion_head_apply=fusion_apply,
+        )
+        return loss, {"open_seg_loss": loss}
+
+    loss_fns = {
+        "imagereport": imagereport_loss,
+        "imageseg": imageseg_loss,
+        "imageopenseg": imageopenseg_loss,
+    }
+
+    steps = {}
+    for name, loss_fn in loss_fns.items():
+
+        def step(state: TrainState, batch, loss_weight, _loss_fn=loss_fn):
+            def weighted(params):
+                loss, metrics = _loss_fn(params, batch)
+                # per-dataset balance_loss_weight (CTCLIPTrainer.py:603-606)
+                return loss * loss_weight, metrics
+
+            (loss, metrics), grads = jax.value_and_grad(
+                weighted, has_aux=True
+            )(state.params)
+            new_state = _apply_update(state, grads, tx)
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            return new_state, metrics
+
+        steps[name] = jax.jit(step, donate_argnums=(0,))
+    return steps
+
+
+def make_eval_encoders(model: CTCLIP):
+    """Jitted encoders for the zero-shot engines (eval/zero_shot.py)."""
+
+    @jax.jit
+    def encode_image_latents(params, video):
+        tokens = model.apply(
+            {"params": params}, video, method=CTCLIP.encode_image_tokens
+        )
+        return model.apply(
+            {"params": params}, tokens, method=CTCLIP.image_latents_from_tokens
+        )
+
+    @jax.jit
+    def encode_text_latents(params, input_ids, attention_mask):
+        hidden = model.apply(
+            {"params": params}, input_ids, attention_mask,
+            method=CTCLIP.encode_text_hidden,
+        )
+        return model.apply(
+            {"params": params}, hidden, method=CTCLIP.text_latents_from_hidden
+        )
+
+    @jax.jit
+    def score(params, text_latents, image_latents):
+        return model.apply(
+            {"params": params}, text_latents, image_latents,
+            method=CTCLIP.forward_infer,
+        )
+
+    return encode_image_latents, encode_text_latents, score
