@@ -102,10 +102,17 @@ def main():
     # warmup / compile
     jax.block_until_ready(classify(params, video, text_latents))
 
+    # timing rules for the axon relay platform (measured, not theoretical):
+    # repeated dispatch of an identical (executable, args) pair can be
+    # memoized remotely and block_until_ready then returns without running
+    # anything — so (a) perturb the input every iteration on-device, and
+    # (b) force a host read of each result
+    perturbed = [
+        jax.block_until_ready(video * (1.0 + 0.001 * i)) for i in range(iters)
+    ]
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = classify(params, video, text_latents)
-    jax.block_until_ready(out)
+    for i in range(iters):
+        float(jnp.sum(classify(params, perturbed[i], text_latents)))
     dt = time.perf_counter() - t0
 
     volumes_per_sec = batch * iters / dt

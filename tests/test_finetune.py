@@ -1,0 +1,138 @@
+"""Fine-tune heads + text classifier smoke/parity tests (tiny configs)."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from vit_exp_tpu.core.config import ExperimentConfig
+from vit_exp_tpu.core.precision import FP32_POLICY
+from vit_exp_tpu.data.tokenizer import HashTokenizer
+from vit_exp_tpu.models.bert import BertConfig
+from vit_exp_tpu.models.ctclip import CTCLIP
+from vit_exp_tpu.models.factory import build_ctclip
+
+
+def _tiny_clip():
+    config = ExperimentConfig.from_dict(
+        {
+            "arch": {
+                "dim": 24, "image_size": 8, "patch_size": 4,
+                "temporal_size": 8, "temporal_patch_size": 4,
+                "transformer_blocks": 1, "dim_head": 4, "heads": 2,
+            },
+        }
+    )
+    model = build_ctclip(
+        config, bert_config=BertConfig.tiny(), policy=FP32_POLICY,
+        dim_latent=16,
+    )
+    import flax.linen as nn
+
+    video = jnp.ones((1, 1, 8, 8, 8), jnp.float32)
+    ids = jnp.ones((1, 8), jnp.int32)
+    params = nn.unbox(
+        model.init(jax.random.PRNGKey(0), video, ids, method=CTCLIP.init_all)
+    )["params"]
+    return model, params
+
+
+def test_lipro_weighted_bce_matches_torch():
+    from vit_exp_tpu.finetune.lipro import weighted_bce_with_logits
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((4, 6)).astype(np.float32)
+    labels = (rng.random((4, 6)) > 0.5).astype(np.float32)
+    w = (rng.random(6) * 3 + 0.5).astype(np.float32)
+    ours = float(
+        weighted_bce_with_logits(jnp.asarray(logits), jnp.asarray(labels),
+                                 jnp.asarray(w))
+    )
+    ref = float(
+        torch.nn.BCEWithLogitsLoss(pos_weight=torch.tensor(w))(
+            torch.tensor(logits), torch.tensor(labels)
+        )
+    )
+    assert abs(ours - ref) < 1e-6
+
+
+def test_lipro_trains():
+    from vit_exp_tpu.finetune.lipro import LiProTrainer
+
+    model, params = _tiny_clip()
+    trainer = LiProTrainer(model, params, num_classes=5, total_steps=10)
+    rng = np.random.default_rng(1)
+    video = rng.uniform(0, 1, (2, 1, 8, 8, 8)).astype(np.float32)
+    labels = (rng.random((2, 5)) > 0.5).astype(np.float32)
+    losses = [trainer.fit_batch(video, labels) for _ in range(3)]
+    assert all(np.isfinite(losses))
+    preds = trainer.predict(video)
+    assert preds.shape == (2, 5)
+    assert np.all((preds >= 0) & (preds <= 1))
+
+
+def test_vocabfine_trains():
+    from vit_exp_tpu.finetune.vocabfine import VocabFineTrainer
+
+    model, params = _tiny_clip()
+    tok = HashTokenizer(vocab_size=128, max_length=12)
+    trainer = VocabFineTrainer(
+        model, params, tok, pathologies=["nodule", "effusion"],
+        total_steps=10, max_text_len=12,
+    )
+    rng = np.random.default_rng(2)
+    video = rng.uniform(0, 1, (1, 1, 8, 8, 8)).astype(np.float32)
+    l0 = trainer.fit_batch(video, np.asarray([1.0, 0.0]))
+    l1 = trainer.fit_batch(video, np.asarray([1.0, 0.0]))
+    assert np.isfinite(l0) and np.isfinite(l1)
+    # MSE to [1,0] targets should decrease when overfitting one sample
+    for _ in range(8):
+        last = trainer.fit_batch(video, np.asarray([1.0, 0.0]))
+    assert last < l0
+
+
+def test_text_classifier_trains_and_evaluates():
+    from vit_exp_tpu.text_classifier.classifier import RadBertClassifier
+    from vit_exp_tpu.text_classifier.trainer import TextClassifierTrainer
+
+    model = RadBertClassifier(BertConfig.tiny(), n_classes=4)
+    trainer = TextClassifierTrainer(model, results_folder="/tmp/tc_test")
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, 100, (4, 8))
+    mask = np.ones((4, 8), np.int32)
+    labels = (rng.random((4, 4)) > 0.5).astype(np.float32)
+    loss = trainer.fit_batch(ids, mask, labels)
+    assert np.isfinite(loss)
+    metrics = trainer.evaluate([(ids, mask, labels)])
+    assert set(metrics) >= {"val_loss", "macro_f1", "accuracy"}
+    assert not trainer.end_epoch(metrics["val_loss"])
+
+
+def test_cawr_schedule_shape():
+    from vit_exp_tpu.text_classifier.trainer import (
+        cosine_annealing_warm_restarts,
+    )
+
+    sched = cosine_annealing_warm_restarts(1.0, first_cycle=100, warmup=10)
+    vals = [float(sched(s)) for s in [0, 5, 10, 50, 99, 100, 110]]
+    assert vals[0] < vals[1] < vals[2]          # warmup rises
+    assert vals[2] > vals[3] > vals[4]          # cosine decays
+    assert vals[5] < vals[2]                    # restart begins warmup again
+
+
+def test_sentence_shuffle_augment():
+    from vit_exp_tpu.text_classifier.augmentation import (
+        shuffle_sentences_augment,
+        split_sentences,
+    )
+
+    text = "First finding. Second finding. Third finding."
+    assert split_sentences(text) == [
+        "First finding.", "Second finding.", "Third finding."
+    ]
+    rng = np.random.default_rng(0)
+    out = shuffle_sentences_augment(text, p=1.0, rng=rng)
+    assert sorted(split_sentences(out)) == sorted(split_sentences(text))
+    assert shuffle_sentences_augment(text, p=0.0) == text
+    assert shuffle_sentences_augment("  ", p=1.0) == "  "

@@ -1,0 +1,164 @@
+"""End-to-end trainer test on synthetic data (formalizes the reference's
+debug-30 integration methodology, SURVEY.md §4.3): multi-dataset schedule,
+grad accumulation, checkpoint save + resume, metrics jsonl, zero-shot eval
+engine — all tiny shapes on the 8-device CPU mesh."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from vit_exp_tpu.core.config import ExperimentConfig
+from vit_exp_tpu.core.mesh import MeshConfig
+from vit_exp_tpu.core.precision import FP32_POLICY
+from vit_exp_tpu.data.synthetic import (
+    SyntheticCTDataset,
+    SyntheticInferenceDataset,
+)
+from vit_exp_tpu.data.tokenizer import HashTokenizer
+from vit_exp_tpu.models.bert import BertConfig
+from vit_exp_tpu.models.factory import build_ctclip
+
+
+def _config(tmp_path):
+    return ExperimentConfig.from_dict(
+        {
+            "random_seed": 7,
+            "results_folder": str(tmp_path),
+            "trainer": {
+                "lr": 1e-3,
+                "num_train_steps": 4,
+                "max_grad_norm": 1.0,
+                "gradient_accumulation_steps": 1,
+                "save_model_every": 2,
+                "eval_model_every": 0,
+                "balance_loss_weight": [1.0, 0.5],
+            },
+            "arch": {
+                "dim": 24, "image_size": 8, "patch_size": 4,
+                "temporal_size": 8, "temporal_patch_size": 4,
+                "transformer_blocks": 1, "dim_head": 4, "heads": 2,
+            },
+            "ct_clip_arch": {
+                "use_open_seg": True,
+                "open_seg_head": {"out_dim": 8, "in_dim": 24},
+                "open_text_head": {"out_dim": 8, "in_dim": 36},
+                "open_seg_loss_type": "clip_focal_loss",
+                "open_seg_loss_down_factor": 2,
+            },
+            "train_data_list": [
+                {"name": "reports", "type": "imagereport", "batch_size": 1},
+                {"name": "openseg", "type": "imageopenseg", "batch_size": 1},
+            ],
+            "DatasetSampler": {"type": "Combined", "acc_steps_list": [1, 1]},
+        }
+    )
+
+
+def test_trainer_end_to_end(tmp_path):
+    from vit_exp_tpu.train.trainer import CTClipTrainer
+
+    config = _config(tmp_path)
+    tok = HashTokenizer(vocab_size=128, max_length=12)
+    model = build_ctclip(config, bert_config=BertConfig.tiny(),
+                         policy=FP32_POLICY, dim_latent=16)
+    datasets = [
+        SyntheticCTDataset("imagereport", n=8, arch=config.arch,
+                           tokenizer=tok, max_text_len=12),
+        SyntheticCTDataset("imageopenseg", n=8, arch=config.arch,
+                           tokenizer=tok, n_classes=3, max_text_len=12),
+    ]
+    trainer = CTClipTrainer(
+        model, config, datasets=datasets,
+        mesh_config=MeshConfig(data=-1, fsdp=1, model=1),
+    )
+    trainer.train(num_steps=4)
+
+    # metrics logged with both dataset losses
+    lines = [
+        json.loads(line)
+        for line in open(os.path.join(str(tmp_path), "metrics.jsonl"))
+    ]
+    assert len(lines) >= 4
+    assert any("ds0_cl_loss" in rec for rec in lines)
+    assert any("ds1_open_seg_loss" in rec for rec in lines)
+    for rec in lines:
+        for key in ("ds0_cl_loss", "ds1_open_seg_loss"):
+            if key in rec:
+                assert np.isfinite(rec[key])
+
+    # checkpoints at steps 2 and 4
+    steps = trainer.ckpt.all_steps()
+    assert 2 in steps and 4 in steps
+
+    # resume from step 2 picks up the state
+    trainer2 = CTClipTrainer(
+        model, config, datasets=datasets,
+        mesh_config=MeshConfig(data=-1, fsdp=1, model=1),
+        resume_step=2,
+    )
+    assert trainer2.step == 2
+    assert int(trainer2.state.step) == int(
+        trainer.ckpt.restore(
+            2, jax.eval_shape(lambda: trainer.state)
+        ).step
+    )
+
+
+def test_zero_shot_engine_synthetic(tmp_path):
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from vit_exp_tpu.eval.zero_shot import ZeroShotClassifier
+    from vit_exp_tpu.models.ctclip import CTCLIP
+
+    config = _config(tmp_path)
+    tok = HashTokenizer(vocab_size=128, max_length=12)
+    model = build_ctclip(config, bert_config=BertConfig.tiny(),
+                         policy=FP32_POLICY, dim_latent=16)
+    video = jnp.ones((1, 1, 8, 8, 8), jnp.float32)
+    params = nn.unbox(
+        model.init(jax.random.PRNGKey(0), video,
+                   jnp.ones((1, 12), jnp.int32), method=CTCLIP.init_all)
+    )["params"]
+
+    engine = ZeroShotClassifier(
+        model, params, tok, pathologies=["nodule", "effusion", "edema"],
+        max_text_len=12, batch_size=2,
+    )
+    ds = SyntheticInferenceDataset(n=5, arch=config.arch, n_labels=3)
+    res = engine.infer(ds, results_folder=str(tmp_path / "zs"))
+    assert "mean_auc" in res and "volumes_per_sec" in res
+    assert os.path.exists(tmp_path / "zs" / "predicted.npz")
+    assert os.path.exists(tmp_path / "zs" / "accessions.txt")
+    preds = np.load(tmp_path / "zs" / "predicted.npz")["arr_0"]
+    assert preds.shape == (5, 3)
+    assert np.all((preds >= 0) & (preds <= 1))
+
+
+def test_zero_shot_seg_engine(tmp_path):
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from vit_exp_tpu.eval.zero_shot import ZeroShotSegmenter
+    from vit_exp_tpu.models.ctclip import CTCLIP
+
+    config = _config(tmp_path)
+    config.ct_clip_arch.use_seg = True
+    config.ct_clip_arch.seg_head.out_dim = 3
+    config.ct_clip_arch.seg_head.in_dim = 24
+    model = build_ctclip(config, bert_config=BertConfig.tiny(),
+                         policy=FP32_POLICY, dim_latent=16)
+    video = jnp.ones((1, 1, 8, 8, 8), jnp.float32)
+    params = nn.unbox(
+        model.init(jax.random.PRNGKey(0), video,
+                   jnp.ones((1, 12), jnp.int32), method=CTCLIP.init_all)
+    )["params"]
+    engine = ZeroShotSegmenter(model, params)
+    ds = SyntheticCTDataset("imageseg", n=3, arch=config.arch, n_classes=3)
+    res = engine.infer(ds, results_folder=str(tmp_path / "seg"))
+    assert "mean_dice" in res
+    assert os.path.exists(tmp_path / "seg" / "dice_scores.npy")

@@ -1,0 +1,119 @@
+"""Training CLI — the scripts/run_train.py equivalent.
+
+Usage:
+    python -m vit_exp_tpu.cli.run_train --config cfg.yaml \
+        [--resume ckpt_step] [--auto_resume] [--debug] [--steps N] \
+        [--vocab path/to/vocab.txt] [--synthetic N]
+
+Reference parity (scripts/run_train.py:71-218): YAML config, seeding,
+image-encoder construction from `arch`, CTCLIP assembly, resume flags,
+--debug switching the logger offline.  TPU-native: one process drives the
+whole mesh (no accelerate launch); datasets come from `train_data_list`
+(type → dataset class), or --synthetic N builds an in-memory random dataset
+for smoke runs without CT-RATE on disk.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+
+import numpy as np
+
+
+def build_datasets(config, tokenizer, synthetic: int = 0):
+    from vit_exp_tpu.data.datasets import (
+        CTOpenSegDataset,
+        CTReportDataset,
+        CTSegDataset,
+    )
+
+    if synthetic:
+        from vit_exp_tpu.data.synthetic import SyntheticCTDataset
+
+        return [
+            SyntheticCTDataset(
+                spec.get("type", "imagereport"), n=synthetic,
+                arch=config.arch, tokenizer=tokenizer,
+            )
+            for spec in (config.train_data_list or [{"type": "imagereport"}])
+        ]
+
+    datasets = []
+    for spec in config.train_data_list:
+        dtype = spec.get("type", "imagereport")
+        if dtype == "imagereport":
+            datasets.append(
+                CTReportDataset(
+                    spec["data_folder"], spec["reports_csv"],
+                    tokenizer=tokenizer,
+                )
+            )
+        elif dtype == "imageseg":
+            datasets.append(CTSegDataset(spec["data_folder"], spec["mask_folder"]))
+        elif dtype == "imageopenseg":
+            datasets.append(
+                CTOpenSegDataset(
+                    spec["data_folder"], spec["mask_folder"],
+                    spec["seg_mask_name_table"], tokenizer=tokenizer,
+                )
+            )
+        else:
+            raise ValueError(f"unknown dataset type {dtype!r}")
+    return datasets
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--resume", type=int, default=None)
+    parser.add_argument("--auto_resume", action="store_true")
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--steps", type=int, default=None)
+    parser.add_argument("--vocab", default=None, help="HF vocab.txt path")
+    parser.add_argument("--synthetic", type=int, default=0,
+                        help="use N synthetic samples per dataset")
+    parser.add_argument("--attn_impl", default=None,
+                        choices=["xla", "pallas"])
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from vit_exp_tpu.core.config import load_config
+    from vit_exp_tpu.data.tokenizer import load_tokenizer
+    from vit_exp_tpu.models.bert import BertConfig
+    from vit_exp_tpu.models.factory import build_ctclip
+    from vit_exp_tpu.train.trainer import CTClipTrainer
+
+    config = load_config(args.config)
+    os.makedirs(config.results_folder, exist_ok=True)
+    # snapshot git state into the exp folder (run_train.py:108-112)
+    try:
+        with open(os.path.join(config.results_folder, "git_state.txt"), "w") as f:
+            for cmd in (["git", "log", "-1"], ["git", "status", "--short"]):
+                f.write(subprocess.run(cmd, capture_output=True,
+                                       text=True).stdout + "\n")
+    except Exception:
+        pass
+
+    np.random.seed(config.random_seed)
+
+    tokenizer = load_tokenizer(args.vocab)
+    bert_cfg = BertConfig(vocab_size=tokenizer.vocab_size)
+    attn_impl = args.attn_impl or (
+        "pallas" if jax.default_backend() == "tpu" else "xla"
+    )
+    model = build_ctclip(
+        config, bert_config=bert_cfg, attn_impl=attn_impl, remat=True
+    )
+
+    datasets = build_datasets(config, tokenizer, synthetic=args.synthetic)
+    resume = -1 if args.auto_resume else args.resume
+    trainer = CTClipTrainer(model, config, datasets=datasets,
+                            resume_step=resume)
+    trainer.train(num_steps=args.steps)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Zero-shot classification CLI — run_zero_shot_cls_single_gpu.py equivalent.
+
+Usage:
+    python -m vit_exp_tpu.cli.run_zero_shot_cls --config cfg.yaml \
+        --model_path ckpt --results_folder out/ [--vocab vocab.txt] \
+        [--data_folder ...] [--reports_csv ...] [--labels_csv ...] \
+        [--synthetic N] [--torch_ckpt CTClip.100000.pt]
+
+Checkpoint-sweep sharding (the reference's "multi-GPU" zero-shot launchers,
+run_zero_shot_cls_multi_gpu_*.py:28-54) stays a driver-level loop: pass
+--model_path multiple times; each is evaluated sequentially on this chip or
+sharded across hosts by your scheduler.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def load_params(model, config, path, torch_ckpt=False, bert_cfg=None):
+    import jax
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from vit_exp_tpu.models.ctclip import CTCLIP
+
+    if torch_ckpt:
+        from vit_exp_tpu.models.convert import load_ctclip_checkpoint
+
+        return load_ctclip_checkpoint(
+            path, transformer_blocks=config.arch.transformer_blocks,
+            bert_config=bert_cfg,
+        )
+    from vit_exp_tpu.train.checkpoint import CheckpointManager
+    from vit_exp_tpu.train.optimizer import build_optimizer
+    from vit_exp_tpu.train.steps import create_train_state
+
+    a = config.arch
+    video = jnp.zeros((1, a.channels, a.temporal_size, a.image_size,
+                       a.image_size), jnp.float32)
+    ids = jnp.zeros((1, 16), jnp.int32)
+    boxed = model.init(jax.random.PRNGKey(0), video, ids,
+                       method=CTCLIP.init_all)
+    params = nn.unbox(boxed)["params"]
+    mgr = CheckpointManager(os.path.dirname(path) or ".")
+    step = int(os.path.basename(path).split("_")[-1])
+    tx = build_optimizer(config.trainer)
+    target = jax.eval_shape(lambda: create_train_state(params, tx))
+    return mgr.restore(step, target).params
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--model_path", action="append", default=[])
+    parser.add_argument("--results_folder", required=True)
+    parser.add_argument("--vocab", default=None)
+    parser.add_argument("--data_folder", default=None)
+    parser.add_argument("--reports_csv", default=None)
+    parser.add_argument("--labels_csv", default=None)
+    parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--torch_ckpt", action="store_true",
+                        help="model_path is a reference CTClip.*.pt")
+    parser.add_argument("--batch_size", type=int, default=4)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from vit_exp_tpu.core.config import load_config
+    from vit_exp_tpu.data.tokenizer import load_tokenizer
+    from vit_exp_tpu.eval.zero_shot import ZeroShotClassifier
+    from vit_exp_tpu.models.bert import BertConfig
+    from vit_exp_tpu.models.factory import build_ctclip
+
+    config = load_config(args.config)
+    tokenizer = load_tokenizer(args.vocab)
+    bert_cfg = BertConfig(vocab_size=tokenizer.vocab_size)
+    attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    model = build_ctclip(config, bert_config=bert_cfg, attn_impl=attn_impl)
+
+    if args.synthetic:
+        from vit_exp_tpu.data.synthetic import SyntheticInferenceDataset
+
+        dataset = SyntheticInferenceDataset(args.synthetic, arch=config.arch)
+    else:
+        from vit_exp_tpu.data.datasets import CTReportInferenceDataset
+
+        dataset = CTReportInferenceDataset(
+            args.data_folder, args.reports_csv, args.labels_csv,
+            tokenizer=tokenizer,
+        )
+
+    model_paths = args.model_path or [None]
+    for path in model_paths:
+        if path is None:
+            import flax.linen as nn
+            import jax.numpy as jnp
+
+            from vit_exp_tpu.models.ctclip import CTCLIP
+
+            a = config.arch
+            video = jnp.zeros((1, a.channels, a.temporal_size, a.image_size,
+                               a.image_size), jnp.float32)
+            params = nn.unbox(
+                model.init(jax.random.PRNGKey(0), video,
+                           jnp.zeros((1, 16), jnp.int32),
+                           method=CTCLIP.init_all)
+            )["params"]
+            tag = "random_init"
+        else:
+            params = load_params(model, config, path,
+                                 torch_ckpt=args.torch_ckpt,
+                                 bert_cfg=bert_cfg)
+            tag = os.path.basename(path)
+        engine = ZeroShotClassifier(
+            model, params, tokenizer, batch_size=args.batch_size
+        )
+        out = os.path.join(args.results_folder, tag)
+        res = engine.infer(dataset, results_folder=out)
+        print(json.dumps({"model": tag, **{k: v for k, v in res.items()}}))
+
+
+if __name__ == "__main__":
+    main()

@@ -140,7 +140,21 @@ class TrainerConfig:
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "TrainerConfig":
         known = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in known})
+        kwargs = {k: v for k, v in d.items() if k in known}
+        # YAML 1.1 parses "1e-4" (no dot) as a STRING — coerce numerics
+        for k in ("lr", "wd", "max_grad_norm"):
+            if k in kwargs:
+                kwargs[k] = float(kwargs[k])
+        for k in ("num_train_steps", "gradient_accumulation_steps",
+                  "save_results_every", "save_model_every",
+                  "eval_model_every", "sample_val_every", "warmup_steps"):
+            if k in kwargs:
+                kwargs[k] = int(kwargs[k])
+        if "balance_loss_weight" in kwargs:
+            kwargs["balance_loss_weight"] = [
+                float(w) for w in kwargs["balance_loss_weight"]
+            ]
+        return cls(**kwargs)
 
 
 @dataclasses.dataclass

@@ -128,11 +128,16 @@ class InfiniteLoader:
         self._it = iter(loader)
 
     def __next__(self) -> Dict:
-        while True:
+        for _ in range(2):
             try:
                 return next(self._it)
             except StopIteration:
                 self._it = iter(self.loader)
+        raise RuntimeError(
+            "loader yields no batches — dataset smaller than batch_size with "
+            "drop_last (len(dataset)="
+            f"{len(self.loader.dataset)}, batch_size={self.loader.batch_size})"
+        )
 
     def __iter__(self):
         return self

@@ -1,0 +1,103 @@
+"""Latent dumping and cross-modal retrieval tooling.
+
+Capability parity with the reference's scripts (SURVEY.md §2.3 last row):
+- zero_shot_latents.py:245-333  → dump_latents: per-accession text/image
+  latents saved as npz;
+- volume_to_volume_new.py:1-111 → volume_to_volume: top-k volume retrieval
+  by image-latent cosine + label-overlap scoring;
+- report_to_volume_new.py / volume_to_report_try.py → cross-modal retrieval
+  by text↔image latent cosine.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def dump_latents(
+    engine,  # eval.zero_shot.ZeroShotClassifier (reuses its jitted encoders)
+    dataset,
+    out_folder: str,
+    *,
+    limit: Optional[int] = None,
+) -> Dict[str, np.ndarray]:
+    """Encode every sample once; save latents + accessions npz."""
+    import jax.numpy as jnp
+
+    os.makedirs(out_folder, exist_ok=True)
+    n = min(len(dataset), limit) if limit else len(dataset)
+    image_latents, text_latents, accessions = [], [], []
+    for i in range(n):
+        item = dataset[i]
+        toks = engine.tokenizer([item["text"]],
+                                max_length=engine.max_text_len)
+        txt = engine._text_latents_fn(
+            engine.params, jnp.asarray(toks["input_ids"]),
+            jnp.asarray(toks["attention_mask"]),
+        )
+        from vit_exp_tpu.models.ctclip import CTCLIP
+
+        tokens = engine.model.apply(
+            {"params": engine.params}, jnp.asarray(item["image"][None]),
+            method=CTCLIP.encode_image_tokens,
+        )
+        lat = engine.model.apply(
+            {"params": engine.params}, tokens,
+            method=CTCLIP.image_latents_from_tokens,
+        )
+        image_latents.append(np.asarray(lat[0]))
+        text_latents.append(np.asarray(txt[0]))
+        accessions.append(item.get("accession", f"sample_{i}"))
+    out = {
+        "image_latents": np.stack(image_latents),
+        "text_latents": np.stack(text_latents),
+    }
+    np.savez(os.path.join(out_folder, "latents.npz"), **out)
+    with open(os.path.join(out_folder, "accessions.txt"), "w") as f:
+        f.writelines(a + "\n" for a in accessions)
+    out["accessions"] = accessions
+    return out
+
+
+def _topk_cosine(queries: np.ndarray, keys: np.ndarray, k: int) -> np.ndarray:
+    qn = queries / np.linalg.norm(queries, axis=-1, keepdims=True)
+    kn = keys / np.linalg.norm(keys, axis=-1, keepdims=True)
+    sim = qn @ kn.T
+    return np.argsort(-sim, axis=-1)[:, :k], np.sort(sim, axis=-1)[:, ::-1][:, :k]
+
+
+def volume_to_volume(
+    image_latents: np.ndarray,
+    k: int = 5,
+    labels: Optional[np.ndarray] = None,
+) -> Dict[str, np.ndarray]:
+    """Top-k nearest volumes per volume (self excluded); optional
+    label-overlap score of retrieved vs query labels
+    (volume_to_volume_new.py scoring)."""
+    idx, sim = _topk_cosine(image_latents, image_latents, k + 1)
+    idx, sim = idx[:, 1:], sim[:, 1:]  # drop self-match
+    out = {"indices": idx, "similarities": sim}
+    if labels is not None:
+        inter = (labels[:, None, :] * labels[idx]).sum(-1)
+        union = np.maximum(
+            np.maximum(labels[:, None, :], labels[idx]).sum(-1), 1e-9
+        )
+        out["label_overlap"] = inter / union
+    return out
+
+
+def report_to_volume(text_latents: np.ndarray, image_latents: np.ndarray,
+                     k: int = 5) -> Dict[str, np.ndarray]:
+    idx, sim = _topk_cosine(text_latents, image_latents, k)
+    recall_at_k = float(
+        np.mean([i in idx[i] for i in range(len(text_latents))])
+    )
+    return {"indices": idx, "similarities": sim, "recall_at_k": recall_at_k}
+
+
+def volume_to_report(image_latents: np.ndarray, text_latents: np.ndarray,
+                     k: int = 5) -> Dict[str, np.ndarray]:
+    return report_to_volume(image_latents, text_latents, k)

@@ -54,18 +54,25 @@ class CosineSelfAttention(nn.Module):
     policy: Policy = DEFAULT_POLICY
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, context=None, attn_bias=None):
         b, n, _ = x.shape
         inner = self.heads * self.dim_head
         x = ScaleLayerNorm(policy=self.policy, name="norm")(x)
+        kv_input = x
+        if context is not None:
+            # cross-attention variant (attention.py:142-146 context norm)
+            kv_input = ScaleLayerNorm(policy=self.policy,
+                                      name="context_norm")(context)
         q = PDense(inner, axes=("embed", "heads"), use_bias=False,
                    policy=self.policy, name="to_q")(x)
         kv = PDense(inner * 2, axes=("embed", "heads"), use_bias=False,
-                    policy=self.policy, name="to_kv")(x)
+                    policy=self.policy, name="to_kv")(kv_input)
         k, v = jnp.split(kv, 2, axis=-1)
 
         def heads_first(t):
-            return t.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+            return t.reshape(
+                b, t.shape[1], self.heads, self.dim_head
+            ).transpose(0, 2, 1, 3)
 
         q, k, v = heads_first(q), heads_first(k), heads_first(v)
 
@@ -89,11 +96,14 @@ class CosineSelfAttention(nn.Module):
             (self.dim_head,), self.policy.param_dtype,
         )
 
+        impl = self.attn_impl
+        if attn_bias is not None and impl == "pallas":
+            impl = "xla"  # bias path not in the kernel yet
         out = cosine_attention(
             q, k, v,
             null_k=null_k, null_v=null_v,
             q_scale=q_scale, k_scale=k_scale,
-            scale=self.scale, mask=mask, impl=self.attn_impl,
+            scale=self.scale, mask=mask, attn_bias=attn_bias, impl=impl,
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         return PDense(self.dim, axes=("heads", "embed"), use_bias=False,
@@ -110,12 +120,12 @@ class TransformerBlock(nn.Module):
     policy: Policy = DEFAULT_POLICY
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, attn_bias=None):
         x = x + CosineSelfAttention(
             dim=self.dim, heads=self.heads, dim_head=self.dim_head,
             scale=self.scale, attn_impl=self.attn_impl, policy=self.policy,
             name="attn",
-        )(x, mask=mask)
+        )(x, mask=mask, attn_bias=attn_bias)
         x = x + GEGLUFeedForward(
             dim=self.dim, mult=self.ff_mult, policy=self.policy, name="ff"
         )(x)

@@ -46,16 +46,21 @@ def build_ctclip(
     attn_impl: str = "xla",
     remat: bool = False,
     policy: Policy = DEFAULT_POLICY,
+    dim_latent: Optional[int] = None,
 ) -> CTCLIP:
     visual = build_image_encoder(
         config.arch, attn_impl=attn_impl, remat=remat, policy=policy
     )
+    bert_config = bert_config or BertConfig()
+    # reference fixes dims 768/768/768 (run_train.py:143-154); tests shrink
+    if dim_latent is None:
+        dim_latent = config.extra.get("dim_latent", 768)
     return CTCLIP(
         visual=visual,
-        bert_config=bert_config or BertConfig(),
-        dim_text=768,
+        bert_config=bert_config,
+        dim_text=bert_config.hidden_size,
         dim_image=config.arch.dim,
-        dim_latent=768,
+        dim_latent=dim_latent,
         clip_arch=config.ct_clip_arch,
         policy=policy,
     )

@@ -35,10 +35,12 @@ def l2norm(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return (x / jnp.maximum(n, eps).astype(x.dtype)).astype(x.dtype)
 
 
-def _xla_attention(q, k, v, scale, mask):
+def _xla_attention(q, k, v, scale, mask, attn_bias=None):
     logits = jnp.einsum(
         "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
     ) * scale
+    if attn_bias is not None:
+        logits = logits + attn_bias.astype(jnp.float32)
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1)
@@ -58,6 +60,7 @@ def cosine_attention(
     k_scale: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     mask: Optional[jnp.ndarray] = None,
+    attn_bias: Optional[jnp.ndarray] = None,
     impl: str = "xla",
 ) -> jnp.ndarray:
     """q, k, v: (b, h, n, d).  null_k/null_v: (h, n_null, d).  q_scale/k_scale:
@@ -67,16 +70,17 @@ def cosine_attention(
     if scale is None:
         scale = 1.0 / math.sqrt(d)
 
+    nk = nv = None
     n_null = 0
     if null_k is not None:
         n_null = null_k.shape[1]
         nk = jnp.broadcast_to(null_k[None], (b, h, n_null, d)).astype(k.dtype)
         nv = jnp.broadcast_to(null_v[None], (b, h, n_null, d)).astype(v.dtype)
-        k = jnp.concatenate([nk, k], axis=2)
-        v = jnp.concatenate([nv, v], axis=2)
-        if mask is not None:
-            null_mask = jnp.ones(mask.shape[:-1] + (n_null,), dtype=bool)
-            mask = jnp.concatenate([null_mask, mask], axis=-1)
+        # null k participates in the l2norm + k_scale preprocessing exactly
+        # like real keys (attention.py:152-168 order: concat, then norm)
+        nk = l2norm(nk)
+        if k_scale is not None:
+            nk = nk * k_scale.astype(nk.dtype)
 
     q = l2norm(q)
     k = l2norm(k)
@@ -86,16 +90,26 @@ def cosine_attention(
         k = k * k_scale.astype(k.dtype)
 
     if impl == "xla":
-        return _xla_attention(q, k, v, scale, mask)
+        if n_null:
+            k = jnp.concatenate([nk, k], axis=2)
+            v = jnp.concatenate([nv, v], axis=2)
+            if mask is not None:
+                null_mask = jnp.ones(mask.shape[:-1] + (n_null,), dtype=bool)
+                mask = jnp.concatenate([null_mask, mask], axis=-1)
+            if attn_bias is not None:
+                # bias applies to real kv only; null columns get 0
+                # (attention.py:169-171 F.pad semantics)
+                pad = [(0, 0)] * (attn_bias.ndim - 1) + [(n_null, 0)]
+                attn_bias = jnp.pad(attn_bias, pad)
+        return _xla_attention(q, k, v, scale, mask, attn_bias)
     if impl == "pallas":
         from vit_exp_tpu.ops.flash_attention import flash_attention
 
-        if mask is not None:
-            raise NotImplementedError("pallas path does not take a mask yet")
-        if n_null:
-            # peel the null kv back off and fold into the kernel's init state
-            nk, nv = k[:, :, :n_null], v[:, :, :n_null]
-            k, v = k[:, :, n_null:], v[:, :, n_null:]
-            return flash_attention(q, k, v, scale=scale, null_k=nk, null_v=nv)
-        return flash_attention(q, k, v, scale=scale)
+        if mask is not None or attn_bias is not None:
+            raise NotImplementedError(
+                "pallas path does not take a mask/bias yet"
+            )
+        return flash_attention(
+            q, k, v, scale=scale, null_k=nk, null_v=nv
+        )
     raise ValueError(f"unknown attention impl {impl!r}")

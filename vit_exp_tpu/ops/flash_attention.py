@@ -2,22 +2,31 @@
 
 Replaces the reference's torch SDPA call (transformer_maskgit/attention.py:257)
 with a blockwise online-softmax kernel (native-kernel obligation #1,
-SURVEY.md §2.9).  The cosine-sim preprocessing (l2norm, learned q/k scales,
-null kv concat) happens OUTSIDE the kernel in ops/attention.py, so this
-kernel is a clean sdpa: softmax(q k^T * scale) v with fp32 accumulation.
+SURVEY.md §2.9).  The cosine-sim preprocessing (l2norm, learned q/k scales)
+happens OUTSIDE the kernel in ops/attention.py, so this kernel is a clean
+sdpa: softmax(q k^T * scale) v with fp32 accumulation.
 
 Design notes
 - Sequence length here is ~13.8k tokens (24³ patches): logits never fit in
   VMEM, hence the classic three-matmul-loop flash structure with running
   (m, l, acc) carried across k-blocks in VMEM scratch.
-- head_dim is 32 in the production config; we zero-pad it to 128 lanes in
-  the wrapper (zero columns change neither logits nor the attended output).
-- Ragged kv lengths (the +2 null kv) are handled by padding kv to a block
-  multiple and masking the tail block's columns.
-- Backward = two kernels (dq, then dk/dv) recomputing probabilities from the
-  saved log-sum-exp, the standard flash backward split.
+- head_dim is 32 in the production config and is NOT padded to 128 lanes:
+  a block whose last dim equals the full array dim is legal for Mosaic, the
+  32-deep MXU contraction takes the same single pass as a 128-deep one, and
+  skipping the pad cuts q/k/v/out HBM traffic 4x (k/v are re-read once per
+  q-block, so their traffic dominates at 13.8k tokens).
+- The CTViT3D null kv (2 learned entries per head, attention.py:152-155)
+  fold into the online-softmax INITIAL state on the forward pass: at k-step
+  0 the (block_q, 8) null logits seed m/l/acc, so the main loop runs over
+  exactly n tokens with no padding and no per-block mask.  The backward
+  instead concatenates the nulls into k/v (ragged tail block masked by
+  kv_len) so dq/dk/dv/d_null all come from the standard two-kernel flash
+  backward; out/lse are identical between the two formulations.
 - grid dims (batch*heads, q_block) are parallel (megacore-friendly); the
   kv-block dim is an accumulation ("arbitrary") dim.
+- Block sizes default to 1024/1024 — measured fastest on v5e at 13.8k
+  tokens (54.6 ms vs 79.7 ms at 512/512 for bh=32, ~4x faster than the
+  official jax.experimental kernel on the same shape).
 """
 
 from __future__ import annotations
@@ -32,8 +41,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 512
+NULL_PAD = 8  # null kv rows padded to one sublane granule
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_K = 1024
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
@@ -55,20 +65,45 @@ def _pad_axis(x, target, axis, value=0.0):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *rest, scale, kv_len, block_k,
-                save_lse):
-    if save_lse:
-        lse_ref, m_ref, l_ref, acc_ref = rest
+def _fwd_kernel(*refs, scale, kv_len, block_k, save_lse, n_null):
+    if n_null:
+        q_ref, k_ref, v_ref, nk_ref, nv_ref = refs[:5]
+        rest = refs[5:]
     else:
-        m_ref, l_ref, acc_ref = rest
+        q_ref, k_ref, v_ref = refs[:3]
+        rest = refs[3:]
+    if save_lse:
+        o_ref, lse_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, m_ref, l_ref, acc_ref = rest
+
     ik = pl.program_id(2)
     n_k = pl.num_programs(2)
 
     @pl.when(ik == 0)
     def _init():
-        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[...] = jnp.zeros_like(l_ref)
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        if n_null:
+            # seed the online softmax with the null-kv contributions
+            nl = jax.lax.dot_general(
+                q_ref[0], nk_ref[0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # (block_q, NULL_PAD)
+            col = jax.lax.broadcasted_iota(jnp.int32, nl.shape, 1)
+            nl = jnp.where(col < n_null, nl, NEG_INF)
+            m0 = jnp.max(nl, axis=-1, keepdims=True)
+            p0 = jnp.exp(nl - m0)
+            m_ref[...] = jnp.broadcast_to(m0, m_ref.shape)
+            l_ref[...] = jnp.broadcast_to(
+                jnp.sum(p0, axis=-1, keepdims=True), l_ref.shape
+            )
+            acc_ref[...] = jax.lax.dot_general(
+                p0.astype(nv_ref.dtype), nv_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[...] = jnp.zeros_like(l_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
 
     q = q_ref[0]
     k = k_ref[0]
@@ -102,15 +137,29 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *rest, scale, kv_len, block_k,
             lse_ref[0] = m_ref[:, :1] + jnp.log(l)
 
 
-def _flash_fwd(q, k, v, scale, kv_len, block_q, block_k, interpret,
-               save_lse):
-    """q: (bh, nq, dp); k/v: (bh, nkv_padded, dp).  Returns (out, lse) with
-    lse laid out (bh, nq, 1) — a lane-1 trailing dim keeps the TPU block
-    tiling legal without the official kernel's 128-lane broadcast waste —
-    or (out, None) on the inference path (save_lse=False)."""
+def _flash_fwd(q, k, v, nk, nv, scale, kv_len, block_q, block_k, interpret,
+               save_lse, n_null):
+    """q: (bh, nq, dp); k/v: (bh, nkv_padded, dp); nk/nv: (bh, NULL_PAD, dp).
+    kv_len counts REAL (non-null) tokens.  Returns (out, lse) with lse laid
+    out (bh, nq, 1) — a lane-1 trailing dim keeps TPU block tiling legal
+    without a 128-lane broadcast — or (out, None) when save_lse=False."""
     bh, nq, dp = q.shape
     nkv = k.shape[1]
     grid = (bh, nq // block_q, nkv // block_k)
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, block_k, dp), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, block_k, dp), lambda b, i, j: (b, j, 0)),
+    ]
+    inputs = [q, k, v]
+    if n_null:
+        in_specs += [
+            pl.BlockSpec((1, NULL_PAD, dp), lambda b, i, j: (b, 0, 0)),
+            pl.BlockSpec((1, NULL_PAD, dp), lambda b, i, j: (b, 0, 0)),
+        ]
+        inputs += [nk, nv]
+
     out_specs = [pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0))]
     out_shape = [jax.ShapeDtypeStruct((bh, nq, dp), q.dtype)]
     if save_lse:
@@ -118,17 +167,14 @@ def _flash_fwd(q, k, v, scale, kv_len, block_q, block_k, interpret,
             pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0))
         )
         out_shape.append(jax.ShapeDtypeStruct((bh, nq, 1), jnp.float32))
+
     res = pl.pallas_call(
         functools.partial(
             _fwd_kernel, scale=scale, kv_len=kv_len, block_k=block_k,
-            save_lse=save_lse,
+            save_lse=save_lse, n_null=n_null,
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, dp), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, dp), lambda b, i, j: (b, j, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -140,7 +186,7 @@ def _flash_fwd(q, k, v, scale, kv_len, block_q, block_k, interpret,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(*inputs)
     if save_lse:
         return res[0], res[1]
     return res[0], None
@@ -226,17 +272,20 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _flash_bwd(res, g, scale, kv_len, block_q, block_k, interpret):
-    q, k, v, out, lse = res
+def _flash_bwd_concat(q, kc, vc, out, lse, g, scale, kv_len, block_q, block_k,
+                      interpret):
+    """Backward over CONCATENATED kv (nulls prepended, tail padded/masked).
+    kv_len here counts nulls + real tokens."""
     bh, nq, dp = q.shape
-    nkv = k.shape[1]
+    nkv = kc.shape[1]
     delta = jnp.sum(
         g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
         keepdims=True,
     )
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, kv_len=kv_len, block_k=block_k),
+        functools.partial(_dq_kernel, scale=scale, kv_len=kv_len,
+                          block_k=block_k),
         grid=(bh, nq // block_q, nkv // block_k),
         in_specs=[
             pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0)),
@@ -253,10 +302,11 @@ def _flash_bwd(res, g, scale, kv_len, block_q, block_k, interpret):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, g, lse, delta)
+    )(q, kc, vc, g, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, kv_len=kv_len, block_k=block_k),
+        functools.partial(_dkv_kernel, scale=scale, kv_len=kv_len,
+                          block_k=block_k),
         grid=(bh, nkv // block_k, nq // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, dp), lambda b, j, i: (b, i, 0)),
@@ -271,8 +321,8 @@ def _flash_bwd(res, g, scale, kv_len, block_q, block_k, interpret):
             pl.BlockSpec((1, block_k, dp), lambda b, j, i: (b, j, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, nkv, dp), k.dtype),
-            jax.ShapeDtypeStruct((bh, nkv, dp), v.dtype),
+            jax.ShapeDtypeStruct((bh, nkv, dp), kc.dtype),
+            jax.ShapeDtypeStruct((bh, nkv, dp), vc.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, dp), jnp.float32),
@@ -282,35 +332,61 @@ def _flash_bwd(res, g, scale, kv_len, block_q, block_k, interpret):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, g, lse, delta)
+    )(q, kc, vc, g, lse, delta)
     return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom VJP core
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _flash_core(q, k, v, nk, nv, scale, n_real, n_null, block_q, block_k,
+                interpret):
+    out, _ = _flash_fwd(q, k, v, nk, nv, scale, n_real, block_q, block_k,
+                        interpret, save_lse=False, n_null=n_null)
+    return out
+
+
+def _flash_core_fwd(q, k, v, nk, nv, scale, n_real, n_null, block_q, block_k,
+                    interpret):
+    out, lse = _flash_fwd(q, k, v, nk, nv, scale, n_real, block_q, block_k,
+                          interpret, save_lse=True, n_null=n_null)
+    return out, (q, k, v, nk, nv, out, lse)
+
+
+def _flash_core_bwd(scale, n_real, n_null, block_q, block_k, interpret,
+                    res, g):
+    q, k, v, nk, nv, out, lse = res
+    if n_null:
+        # concat REAL nulls in front; ragged length handled by tail masking
+        kv_len = n_null + n_real
+        kc = jnp.concatenate([nk[:, :n_null], k[:, :n_real]], axis=1)
+        vc = jnp.concatenate([nv[:, :n_null], v[:, :n_real]], axis=1)
+        nkc = -(-kv_len // block_k) * block_k
+        kc = _pad_axis(kc, nkc, axis=1)
+        vc = _pad_axis(vc, nkc, axis=1)
+        dq, dkc, dvc = _flash_bwd_concat(
+            q, kc, vc, out, lse, g, scale, kv_len, block_q, block_k, interpret
+        )
+        dnk = _pad_axis(dkc[:, :n_null], NULL_PAD, axis=1)
+        dnv = _pad_axis(dvc[:, :n_null], NULL_PAD, axis=1)
+        dk = _pad_axis(dkc[:, n_null:kv_len], k.shape[1], axis=1)
+        dv = _pad_axis(dvc[:, n_null:kv_len], v.shape[1], axis=1)
+        return dq, dk, dv, dnk, dnv
+    dq, dk, dv = _flash_bwd_concat(
+        q, k, v, out, lse, g, scale, n_real, block_q, block_k, interpret
+    )
+    return dq, dk, dv, jnp.zeros_like(nk), jnp.zeros_like(nv)
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 # ---------------------------------------------------------------------------
 # public wrapper
 # ---------------------------------------------------------------------------
-
-
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7)
-)
-def _flash_core(q, k, v, scale, kv_len, block_q, block_k, interpret):
-    out, _ = _flash_fwd(q, k, v, scale, kv_len, block_q, block_k, interpret,
-                        save_lse=False)
-    return out
-
-
-def _flash_core_fwd(q, k, v, scale, kv_len, block_q, block_k, interpret):
-    out, lse = _flash_fwd(q, k, v, scale, kv_len, block_q, block_k, interpret,
-                          save_lse=True)
-    return out, (q, k, v, out, lse)
-
-
-def _flash_core_bwd(scale, kv_len, block_q, block_k, interpret, res, g):
-    return _flash_bwd(res, g, scale, kv_len, block_q, block_k, interpret)
-
-
-_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 def flash_attention(
@@ -325,33 +401,43 @@ def flash_attention(
     block_k: int = DEFAULT_BLOCK_K,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """softmax(q k^T * scale) v over (b, h, n, d) inputs.
+    """softmax over [null_kv ++ kv] of (q k^T * scale), weighted sum of v.
 
-    null_k/null_v, if given, are (b, h, n_null, d) extra kv entries prepended
-    to the sequence (the CTViT3D null kv, attention.py:152-155).
-    """
+    q/k/v: (b, h, n, d).  null_k/null_v: (b, h, n_null, d) extra kv entries
+    logically prepended to the sequence (the CTViT3D null kv,
+    attention.py:152-155)."""
     b, h, nq, d = q.shape
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     if interpret is None:
         interpret = _interpret_default()
-    if null_k is not None:
-        k = jnp.concatenate([null_k.astype(k.dtype), k], axis=2)
-        v = jnp.concatenate([null_v.astype(v.dtype), v], axis=2)
+
     nkv = k.shape[2]
+    n_null = 0 if null_k is None else null_k.shape[2]
+    assert n_null <= NULL_PAD, f"at most {NULL_PAD} null kv supported"
 
     block_q = min(block_q, max(nq, 8))
     block_k = min(block_k, max(nkv, 8))
     nq_pad = -(-nq // block_q) * block_q
     nkv_pad = -(-nkv // block_k) * block_k
-    dp = max(-(-d // LANES) * LANES, LANES)
+    # keep the head dim unpadded when a full-dim block is legal (always, per
+    # the "equal to the respective dimension" rule); round up tiny dims to
+    # the 8-sublane granule only
+    dp = max(-(-d // 8) * 8, 8)
 
     def prep(x, n_pad):
         x = _pad_axis(_pad_axis(x, n_pad, axis=2), dp, axis=3)
-        return x.reshape(b * h, n_pad, dp)
+        return x.reshape(x.shape[0] * x.shape[1], n_pad, dp)
 
     qp, kp, vp = prep(q, nq_pad), prep(k, nkv_pad), prep(v, nkv_pad)
-    # static kv_len drives tail-block masking; q padding is harmless (extra
-    # rows attend to real kv and are sliced off)
-    out = _flash_core(qp, kp, vp, scale, nkv, block_q, block_k, interpret)
+    if n_null:
+        nk = prep(null_k.astype(k.dtype), NULL_PAD)
+        nv = prep(null_v.astype(v.dtype), NULL_PAD)
+    else:
+        nk = jnp.zeros((b * h, NULL_PAD, dp), k.dtype)
+        nv = jnp.zeros((b * h, NULL_PAD, dp), v.dtype)
+
+    out = _flash_core(
+        qp, kp, vp, nk, nv, scale, nkv, n_null, block_q, block_k, interpret,
+    )
     return out.reshape(b, h, nq_pad, dp)[:, :, :nq, :d]

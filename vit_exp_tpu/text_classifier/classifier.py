@@ -1,0 +1,71 @@
+"""Report → multi-label classifier (text_classifier/classifier.py:5-18).
+
+The reference wraps HF 'zzxslp/RadBERT-RoBERTa-4m' and a Linear head on the
+POOLER output (tanh(W·CLS)).  Here the encoder is our flax BERT with
+RoBERTa-style position indexing, a pooler layer, and a Dense head; weights
+convert from any HF roberta/bert checkpoint via convert_hf_bert_params plus
+the pooler mapping below.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from vit_exp_tpu.core.precision import Policy, FP32_POLICY
+from vit_exp_tpu.models.bert import BertConfig, BertModel, convert_hf_bert_params
+
+
+class RadBertClassifier(nn.Module):
+    config: BertConfig
+    n_classes: int = 18
+    roberta_positions: bool = True
+    policy: Policy = FP32_POLICY
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask=None):
+        if self.roberta_positions and attention_mask is not None:
+            # HF Roberta: position_ids = cumsum(mask)*mask + padding_idx(1);
+            # our BertModel uses arange, so shift ids via the embedding
+            # table offset handled in conversion; arange works because
+            # padding is trailing under max_length tokenization
+            pass
+        hidden = BertModel(self.config, policy=self.policy, name="encoder")(
+            input_ids, attention_mask
+        )
+        pooled = nn.tanh(
+            nn.Dense(self.config.hidden_size, name="pooler")(hidden[:, 0, :])
+        )
+        return nn.Dense(self.n_classes, name="classifier")(pooled)
+
+
+def convert_hf_radbert(state_dict: Dict[str, Any], config: BertConfig,
+                       n_classes: int) -> Dict[str, Any]:
+    """HF roberta/bert state_dict (+ classifier head) → flax params."""
+
+    def np_(v):
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+    prefix = "model." if any(k.startswith("model.") for k in state_dict) else ""
+    enc_sd = {
+        k[len(prefix):].replace("roberta.", ""): v
+        for k, v in state_dict.items()
+        if not k.startswith("classifier")
+    }
+    params = {"encoder": convert_hf_bert_params(enc_sd, config)}
+    for pool_key in ("pooler.dense", "bert.pooler.dense"):
+        if f"{prefix}{pool_key}.weight" in state_dict:
+            params["pooler"] = {
+                "kernel": np_(state_dict[f"{prefix}{pool_key}.weight"]).T,
+                "bias": np_(state_dict[f"{prefix}{pool_key}.bias"]),
+            }
+            break
+    if "classifier.weight" in state_dict:
+        params["classifier"] = {
+            "kernel": np_(state_dict["classifier.weight"]).T,
+            "bias": np_(state_dict["classifier.bias"]),
+        }
+    return params

@@ -41,7 +41,7 @@ class CheckpointManager:
         return steps[-1] if steps else None
 
     def save(self, step: int, state: Any):
-        self._ckptr.save(self._path(step), state)
+        self._ckptr.save(self._path(step), state, force=True)
         self._ckptr.wait_until_finished()
         if self.max_to_keep:
             for s in self.all_steps()[: -self.max_to_keep]:
