@@ -105,14 +105,19 @@ def main():
     # timing rules for the axon relay platform (measured, not theoretical):
     # repeated dispatch of an identical (executable, args) pair can be
     # memoized remotely and block_until_ready then returns without running
-    # anything — so (a) perturb the input every iteration on-device, and
-    # (b) force a host read of each result
+    # anything — so (a) perturb the input every iteration on-device (with a
+    # TRACED scalar: a python-constant perturbation would recompile per
+    # iteration through the slow remote-compile relay), and (b) force a
+    # host read of each result
+    perturb = jax.jit(lambda x, s: x * s)
     perturbed = [
-        jax.block_until_ready(video * (1.0 + 0.001 * i)) for i in range(iters)
+        jax.block_until_ready(perturb(video, jnp.bfloat16(1.0 + 0.001 * i)))
+        for i in range(iters)
     ]
+    total = jax.jit(jnp.sum)
     t0 = time.perf_counter()
     for i in range(iters):
-        float(jnp.sum(classify(params, perturbed[i], text_latents)))
+        float(total(classify(params, perturbed[i], text_latents)))
     dt = time.perf_counter() - t0
 
     volumes_per_sec = batch * iters / dt

@@ -16,12 +16,11 @@ Design notes
   skipping the pad cuts q/k/v/out HBM traffic 4x (k/v are re-read once per
   q-block, so their traffic dominates at 13.8k tokens).
 - The CTViT3D null kv (2 learned entries per head, attention.py:152-155)
-  fold into the online-softmax INITIAL state on the forward pass: at k-step
-  0 the (block_q, 8) null logits seed m/l/acc, so the main loop runs over
-  exactly n tokens with no padding and no per-block mask.  The backward
-  instead concatenates the nulls into k/v (ragged tail block masked by
-  kv_len) so dq/dk/dv/d_null all come from the standard two-kernel flash
-  backward; out/lse are identical between the two formulations.
+  are handled by DEFAULT by concatenation into k/v with the ragged tail
+  block masked by kv_len (null_strategy="concat").  An alternative
+  "init" strategy folds them into the online-softmax initial state —
+  measured the same at runtime (53 vs 55 ms at production shape) but its
+  Mosaic compile took 392 s vs 30 s on v5e, so it stays opt-in.
 - grid dims (batch*heads, q_block) are parallel (megacore-friendly); the
   kv-block dim is an accumulation ("arbitrary") dim.
 - Block sizes default to 1024/1024 — measured fastest on v5e at 13.8k
@@ -400,17 +399,26 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: Optional[bool] = None,
+    null_strategy: str = "concat",
 ) -> jnp.ndarray:
     """softmax over [null_kv ++ kv] of (q k^T * scale), weighted sum of v.
 
     q/k/v: (b, h, n, d).  null_k/null_v: (b, h, n_null, d) extra kv entries
     logically prepended to the sequence (the CTViT3D null kv,
-    attention.py:152-155)."""
+    attention.py:152-155).  null_strategy: "concat" prepends them to k/v
+    (ragged tail masked by kv_len — robust, default); "init" seeds the
+    online-softmax state with them (avoids the tail mask, but its Mosaic
+    compile has been observed to be pathologically slow on v5e)."""
     b, h, nq, d = q.shape
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     if interpret is None:
         interpret = _interpret_default()
+
+    if null_k is not None and null_strategy == "concat":
+        k = jnp.concatenate([null_k.astype(k.dtype), k], axis=2)
+        v = jnp.concatenate([null_v.astype(v.dtype), v], axis=2)
+        null_k = null_v = None
 
     nkv = k.shape[2]
     n_null = 0 if null_k is None else null_k.shape[2]

