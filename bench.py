@@ -99,26 +99,40 @@ def main():
     # text prompts embedded once per run (zero_shot.py:480-497)
     text_latents = jax.block_until_ready(cache_text(params, prompt_ids, prompt_mask))
 
-    # warmup / compile
-    jax.block_until_ready(classify(params, video, text_latents))
+    # Timing on the axon relay (measured, see .claude/skills/verify/SKILL.md):
+    # (1) identical (executable, args) dispatches can be memoized remotely, so
+    # each iteration must see fresh data; (2) every dispatch pays a large
+    # fixed relay overhead that scales with argument bytes (params ~400 MB).
+    # So: run the whole loop INSIDE one jitted program with a serial data
+    # dependency between iterations, and difference two loop lengths to
+    # cancel the fixed dispatch cost.
+    def classify_n(n):
+        @jax.jit
+        def run(params, video, text_latents):
+            def body(_, carry):
+                acc, vid = carry
+                probs = classify(params, vid, text_latents)
+                s = jnp.sum(probs.astype(jnp.float32))
+                # serial dependency so iterations can't be CSE'd/hoisted
+                vid = vid * (1.0 + 1e-9 * s).astype(vid.dtype)
+                return acc + s, vid
+            acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), video))
+            return acc
+        return run
 
-    # timing rules for the axon relay platform (measured, not theoretical):
-    # repeated dispatch of an identical (executable, args) pair can be
-    # memoized remotely and block_until_ready then returns without running
-    # anything — so (a) perturb the input every iteration on-device (with a
-    # TRACED scalar: a python-constant perturbation would recompile per
-    # iteration through the slow remote-compile relay), and (b) force a
-    # host read of each result
+    run1, runk = classify_n(1), classify_n(1 + iters)
+    float(run1(params, video, text_latents))   # compile 1
+    float(runk(params, video, text_latents))   # compile 2
+    # fresh input for the timed dispatches (warmup args would be memoized)
     perturb = jax.jit(lambda x, s: x * s)
-    perturbed = [
-        jax.block_until_ready(perturb(video, jnp.bfloat16(1.0 + 0.001 * i)))
-        for i in range(iters)
-    ]
-    total = jax.jit(jnp.sum)
+    video2 = jax.block_until_ready(perturb(video, jnp.bfloat16(1.0009)))
     t0 = time.perf_counter()
-    for i in range(iters):
-        float(total(classify(params, perturbed[i], text_latents)))
-    dt = time.perf_counter() - t0
+    float(run1(params, video2, text_latents))
+    dt1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(runk(params, video2, text_latents))
+    dtk = time.perf_counter() - t0
+    dt = max(dtk - dt1, 1e-9)
 
     volumes_per_sec = batch * iters / dt
     print(json.dumps({

@@ -1,0 +1,110 @@
+"""Fine-tuning CLI — ct_lipro_train.py / ct_vocabfine_train.py equivalents.
+
+Usage:
+    python -m vit_exp_tpu.cli.run_finetune lipro --config cfg.yaml \
+        --pretrained ckpt [--synthetic N] [--epochs N] [--lr ...]
+    python -m vit_exp_tpu.cli.run_finetune vocabfine --config cfg.yaml \
+        --pretrained ckpt [--synthetic N] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("mode", choices=["lipro", "vocabfine"])
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--pretrained", default=None,
+                        help="orbax checkpoint dir (ckpt_N); random init if absent")
+    parser.add_argument("--torch_ckpt", action="store_true")
+    parser.add_argument("--vocab", default=None)
+    parser.add_argument("--data_folder", default=None)
+    parser.add_argument("--reports_csv", default=None)
+    parser.add_argument("--labels_csv", default=None)
+    parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--epochs", type=int, default=1)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--wd", type=float, default=0.1)
+    parser.add_argument("--batch_size", type=int, default=2)
+    args = parser.parse_args(argv)
+
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from vit_exp_tpu.core.config import load_config
+    from vit_exp_tpu.data.tokenizer import load_tokenizer
+    from vit_exp_tpu.models.bert import BertConfig
+    from vit_exp_tpu.models.ctclip import CTCLIP
+    from vit_exp_tpu.models.factory import build_ctclip
+
+    config = load_config(args.config)
+    tokenizer = load_tokenizer(args.vocab)
+    bert_cfg = BertConfig(vocab_size=tokenizer.vocab_size)
+    attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    model = build_ctclip(config, bert_config=bert_cfg, attn_impl=attn_impl)
+
+    a = config.arch
+    video0 = jnp.zeros((1, a.channels, a.temporal_size, a.image_size,
+                        a.image_size), jnp.float32)
+    if args.pretrained:
+        from vit_exp_tpu.cli.run_zero_shot_cls import load_params
+
+        params = load_params(model, config, args.pretrained,
+                             torch_ckpt=args.torch_ckpt, bert_cfg=bert_cfg)
+    else:
+        params = nn.unbox(
+            model.init(jax.random.PRNGKey(0), video0,
+                       jnp.zeros((1, 16), jnp.int32), method=CTCLIP.init_all)
+        )["params"]
+
+    if args.synthetic:
+        from vit_exp_tpu.data.synthetic import SyntheticInferenceDataset
+
+        dataset = SyntheticInferenceDataset(args.synthetic, arch=config.arch)
+    else:
+        from vit_exp_tpu.data.datasets import CTReportInferenceDataset
+
+        dataset = CTReportInferenceDataset(
+            args.data_folder, args.reports_csv, args.labels_csv,
+            tokenizer=tokenizer,
+        )
+
+    total = args.epochs * max(len(dataset) // args.batch_size, 1)
+    if args.mode == "lipro":
+        from vit_exp_tpu.finetune.lipro import LiProTrainer
+
+        trainer = LiProTrainer(
+            model, params, lr=args.lr or 1e-3, wd=args.wd, total_steps=total,
+        )
+        for epoch in range(args.epochs):
+            for start in range(0, len(dataset), args.batch_size):
+                items = [dataset[i] for i in
+                         range(start, min(start + args.batch_size,
+                                          len(dataset)))]
+                video = np.stack([it["image"] for it in items])
+                labels = np.stack([it["onehot"][:18] for it in items])
+                loss = trainer.fit_batch(video, labels)
+            print(f"epoch {epoch}: loss {loss:.4f}")
+    else:
+        from vit_exp_tpu.finetune.vocabfine import VocabFineTrainer
+
+        trainer = VocabFineTrainer(
+            model, params, tokenizer, lr=args.lr or 5e-6, wd=args.wd,
+            total_steps=total,
+        )
+        for epoch in range(args.epochs):
+            for i in range(len(dataset)):
+                item = dataset[i]
+                loss = trainer.fit_batch(
+                    item["image"][None], item["onehot"][:18]
+                )
+            print(f"epoch {epoch}: loss {loss:.4f}")
+
+
+if __name__ == "__main__":
+    main()
