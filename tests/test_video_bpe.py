@@ -1,0 +1,148 @@
+"""Video data utils, NIfTI writer roundtrip, BPE tokenizer, grouped sampler,
+plots, sweep."""
+
+import json
+import os
+
+import numpy as np
+
+from vit_exp_tpu.data.loader import GroupedBatchSampler
+from vit_exp_tpu.data.nifti import read_nifti
+from vit_exp_tpu.data.video import (
+    VideoTextDataset,
+    cast_num_frames,
+    load_hu_volume,
+    video_to_gif,
+    write_nifti,
+)
+
+
+def test_write_read_nifti_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    vol = rng.standard_normal((6, 5, 4)).astype(np.float32)
+    path = str(tmp_path / "out.nii.gz")
+    write_nifti(path, vol)
+    back = read_nifti(path)
+    np.testing.assert_allclose(back, vol, atol=1e-6)
+
+
+def test_cast_num_frames():
+    v = np.arange(1 * 5 * 3 * 3, dtype=np.float32).reshape(1, 5, 3, 3)
+    assert cast_num_frames(v, 5).shape == (1, 5, 3, 3)
+    assert cast_num_frames(v, 3).shape == (1, 3, 3, 3)
+    padded = cast_num_frames(v, 8)
+    assert padded.shape == (1, 8, 3, 3)
+    np.testing.assert_array_equal(padded[:, 5], v[:, 4])
+
+
+def test_video_text_dataset(tmp_path):
+    import pandas as pd
+
+    # build a tiny patient/accession tree with metadata sidecars
+    acc_dir = tmp_path / "p1" / "ACC123"
+    acc_dir.mkdir(parents=True)
+    vol = np.random.default_rng(0).integers(-100, 100, (6, 6, 8)).astype(
+        np.int16
+    )
+    from tests.test_data_tools import _write_nifti
+
+    nii = str(acc_dir / "scan.nii.gz")
+    _write_nifti(nii, vol)
+    meta = {"RescaleSlope": 1, "RescaleIntercept": 0,
+            "PatientAge": "063Y", "PatientSex": "F",
+            "Manufacturer": "XYZ"}
+    with open(str(acc_dir / "scan_metadata.json"), "w") as f:
+        json.dump(meta, f)
+    pd.DataFrame(
+        {"AccessionNo": ["ACC123"], "Impressions": ["Mild (edema)."]}
+    ).to_csv(tmp_path / "reports.csv", index=False)
+
+    ds = VideoTextDataset(str(tmp_path), str(tmp_path / "reports.csv"),
+                          target=(4, 4, 4), num_frames=3)
+    assert len(ds) == 1
+    item = ds[0]
+    assert item["image"].shape == (1, 3, 4, 4)
+    assert item["text"].startswith("63 years old female:")
+    assert "(" not in item["text"]
+
+
+def test_load_hu_volume_pnms_reversal(tmp_path):
+    from tests.test_data_tools import _write_nifti
+
+    vol = np.zeros((2, 2, 3), np.int16)
+    vol[:, :, 0] = 7
+    nii = str(tmp_path / "v.nii.gz")
+    _write_nifti(nii, vol)
+    normal = load_hu_volume(nii, metadata={}, target=None)
+    pnms = load_hu_volume(nii, metadata={"Manufacturer": "PNMS"}, target=None)
+    np.testing.assert_array_equal(normal[0, 0], pnms[0, -1])
+
+
+def test_video_to_gif(tmp_path):
+    v = np.random.default_rng(0).uniform(0, 1, (4, 8, 8)).astype(np.float32)
+    path = str(tmp_path / "v.gif")
+    video_to_gif(v, path)
+    assert os.path.getsize(path) > 0
+
+
+def test_bpe_tokenizer(tmp_path):
+    merges = "#version: test\nl o\nlo w</w>\ne r</w>\n"
+    mpath = tmp_path / "merges.txt"
+    mpath.write_text(merges)
+    from vit_exp_tpu.data.bpe import BPETokenizer
+
+    tok = BPETokenizer(str(mpath), max_length=8)
+    out = tok(["low lower"])
+    ids = out["input_ids"][0]
+    assert ids[0] == tok.sot
+    # "low" merges fully to "low</w>"
+    assert tok.encoder["low</w>"] in list(ids)
+    assert out["attention_mask"][0].sum() >= 4
+    # determinism + truncation
+    out2 = tok(["low lower"])
+    np.testing.assert_array_equal(out["input_ids"], out2["input_ids"])
+    long = tok(["low " * 50])["input_ids"][0]
+    assert long[-1] == tok.eot
+
+
+class _ShapeDataset:
+    sizes = [3, 3, 5, 5, 5, 7]
+
+    def __len__(self):
+        return len(self.sizes)
+
+    def __getitem__(self, i):
+        return {"x": np.zeros((self.sizes[i],), np.float32)}
+
+
+def test_grouped_batch_sampler():
+    ds = _ShapeDataset()
+    sampler = GroupedBatchSampler(
+        ds, batch_size=2, key=lambda d, i: d.sizes[i], shuffle=False
+    )
+    batches = list(iter(sampler))
+    for batch in batches:
+        sizes = {ds.sizes[i] for i in batch}
+        assert len(sizes) == 1  # uniform shape within each batch
+    assert sorted(i for b in batches for i in b) == list(range(6))
+
+
+def test_plots_and_sweep(tmp_path):
+    from vit_exp_tpu.eval.plots import plot_pr, plot_roc
+    from vit_exp_tpu.eval.sweep import shard_list, sweep_checkpoints
+
+    rng = np.random.default_rng(0)
+    y_true = (rng.random((40, 2)) > 0.5).astype(np.float32)
+    y_pred = np.clip(y_true * 0.6 + rng.random((40, 2)) * 0.4, 0, 1)
+    rocs = plot_roc(y_true, y_pred, ["a", "b"], str(tmp_path / "plots"))
+    prs = plot_pr(y_true, y_pred, ["a", "b"], str(tmp_path / "plots"))
+    assert len(rocs) == 2 and len(prs) == 2
+    assert all(os.path.getsize(p) > 0 for p in rocs + prs)
+
+    assert shard_list(list(range(10)), 1, 4) == [1, 5, 9]
+    res = sweep_checkpoints(
+        ["c1", "c2", "c3"], lambda c: {"auc": float(len(c))},
+        results_folder=str(tmp_path / "sweep"), shard_index=0, num_shards=2,
+    )
+    assert set(res) == {"c1", "c3"}
+    assert os.path.exists(tmp_path / "sweep" / "sweep_shard0.json")

@@ -1,0 +1,79 @@
+"""Zero-shot segmentation CLI — run_zero_shot_seg_multi_gpu_2.py equivalent
+(drives CTClipInferenceSeg, zero_shot.py:908-1101).
+
+Usage:
+    python -m vit_exp_tpu.cli.run_zero_shot_seg --config cfg.yaml \
+        --model_path ckpt --results_folder out/ \
+        [--data_folder imgs/ --mask_folder masks/] [--synthetic N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--model_path", default=None)
+    parser.add_argument("--results_folder", required=True)
+    parser.add_argument("--data_folder", default=None)
+    parser.add_argument("--mask_folder", default=None)
+    parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--torch_ckpt", action="store_true")
+    parser.add_argument("--vocab", default=None)
+    args = parser.parse_args(argv)
+
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from vit_exp_tpu.core.config import load_config
+    from vit_exp_tpu.data.tokenizer import load_tokenizer
+    from vit_exp_tpu.eval.zero_shot import ZeroShotSegmenter
+    from vit_exp_tpu.models.bert import BertConfig
+    from vit_exp_tpu.models.ctclip import CTCLIP
+    from vit_exp_tpu.models.factory import build_ctclip
+
+    config = load_config(args.config)
+    assert config.ct_clip_arch.use_seg, "config must enable use_seg"
+    tokenizer = load_tokenizer(args.vocab)
+    bert_cfg = BertConfig(vocab_size=tokenizer.vocab_size)
+    attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    model = build_ctclip(config, bert_config=bert_cfg, attn_impl=attn_impl)
+
+    a = config.arch
+    video0 = jnp.zeros((1, a.channels, a.temporal_size, a.image_size,
+                        a.image_size), jnp.float32)
+    if args.model_path:
+        from vit_exp_tpu.cli.run_zero_shot_cls import load_params
+
+        params = load_params(model, config, args.model_path,
+                             torch_ckpt=args.torch_ckpt, bert_cfg=bert_cfg)
+    else:
+        params = nn.unbox(
+            model.init(jax.random.PRNGKey(0), video0,
+                       jnp.zeros((1, 16), jnp.int32), method=CTCLIP.init_all)
+        )["params"]
+
+    if args.synthetic:
+        from vit_exp_tpu.data.synthetic import SyntheticCTDataset
+
+        dataset = SyntheticCTDataset(
+            "imageseg", n=args.synthetic, arch=config.arch,
+            n_classes=config.ct_clip_arch.seg_head.out_dim,
+        )
+    else:
+        from vit_exp_tpu.data.datasets import CTSegDataset
+
+        dataset = CTSegDataset(args.data_folder, args.mask_folder)
+
+    engine = ZeroShotSegmenter(model, params)
+    res = engine.infer(dataset, results_folder=args.results_folder)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Byte-pair-encoding tokenizer (the vestigial CLIP SimpleTokenizer slot,
+CT_CLIP/ct_clip/tokenizer.py:58-167 — BERT tokenization is what production
+uses, but the BPE capability is part of the surface).
+
+Loads an OpenAI-CLIP-format merges file (one merge pair per line, first
+line a version header) and tokenizes with byte-level pre-encoding,
+end-of-word '</w>' markers, greedy lowest-rank merging, and
+<|startoftext|>/<|endoftext|> framing.
+"""
+
+from __future__ import annotations
+
+import gzip
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_PAT = re.compile(
+    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+    r"|[^\s\w]|\w+",
+    re.IGNORECASE,
+)
+
+
+def _bytes_to_unicode() -> Dict[int, str]:
+    bs = (list(range(33, 127)) + list(range(161, 173))
+          + list(range(174, 256)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+class BPETokenizer:
+    def __init__(self, merges_path: str, max_length: int = 77):
+        opener = gzip.open if merges_path.endswith(".gz") else open
+        with opener(merges_path, "rt", encoding="utf-8") as f:
+            lines = f.read().split("\n")
+        merges = [tuple(line.split()) for line in lines[1:] if line and
+                  len(line.split()) == 2]
+        self.ranks: Dict[Tuple[str, str], int] = {
+            m: i for i, m in enumerate(merges)
+        }
+        self.byte_encoder = _bytes_to_unicode()
+
+        vocab = list(self.byte_encoder.values())
+        vocab += [v + "</w>" for v in vocab]
+        vocab += ["".join(m) for m in merges]
+        vocab += ["<|startoftext|>", "<|endoftext|>"]
+        self.encoder = {t: i for i, t in enumerate(vocab)}
+        self.sot = self.encoder["<|startoftext|>"]
+        self.eot = self.encoder["<|endoftext|>"]
+        self.max_length = max_length
+        self.vocab_size = len(vocab)
+        self._cache: Dict[str, List[str]] = {}
+
+    def _bpe(self, token: str) -> List[str]:
+        if token in self._cache:
+            return self._cache[token]
+        word = list(token[:-1]) + [token[-1] + "</w>"]
+        while len(word) > 1:
+            pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+            best = min(pairs, key=lambda p: self.ranks.get(p, float("inf")))
+            if best not in self.ranks:
+                break
+            merged, i = [], 0
+            while i < len(word):
+                if (i < len(word) - 1
+                        and (word[i], word[i + 1]) == best):
+                    merged.append(word[i] + word[i + 1])
+                    i += 2
+                else:
+                    merged.append(word[i])
+                    i += 1
+            word = merged
+        self._cache[token] = word
+        return word
+
+    def encode(self, text: str) -> List[int]:
+        out: List[int] = []
+        text = re.sub(r"\s+", " ", text.strip().lower())
+        for tok in _PAT.findall(text):
+            btok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+            out += [self.encoder.get(p, 0) for p in self._bpe(btok)]
+        return out
+
+    def __call__(self, texts: Sequence[str] | str,
+                 max_length: Optional[int] = None) -> Dict[str, np.ndarray]:
+        if isinstance(texts, str):
+            texts = [texts]
+        max_length = max_length or self.max_length
+        ids = np.zeros((len(texts), max_length), np.int32)
+        mask = np.zeros((len(texts), max_length), np.int32)
+        for row, text in enumerate(texts):
+            toks = [self.sot] + self.encode(text)
+            toks = toks[: max_length - 1] + [self.eot]
+            ids[row, : len(toks)] = toks
+            mask[row, : len(toks)] = 1
+        return {"input_ids": ids, "attention_mask": mask}

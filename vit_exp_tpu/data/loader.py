@@ -120,6 +120,42 @@ class Loader:
             stop.set()
 
 
+class GroupedBatchSampler:
+    """Batch indices grouped by a key (the CTViT trainer's slice-count-
+    grouped CustomBatchSampler, ctvit_trainer.py:58-105): only samples with
+    equal key(item) share a batch, so stacked shapes always match."""
+
+    def __init__(self, dataset, batch_size: int, key, *, shuffle=True,
+                 seed=0, drop_last=False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.key = key
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __iter__(self):
+        groups: Dict = {}
+        for i in range(len(self.dataset)):
+            groups.setdefault(self.key(self.dataset, i), []).append(i)
+        rng = np.random.default_rng((self.seed, self.epoch))
+        self.epoch += 1
+        batches = []
+        for idx in groups.values():
+            idx = list(idx)
+            if self.shuffle:
+                rng.shuffle(idx)
+            for s in range(0, len(idx), self.batch_size):
+                chunk = idx[s:s + self.batch_size]
+                if self.drop_last and len(chunk) < self.batch_size:
+                    continue
+                batches.append(chunk)
+        if self.shuffle:
+            rng.shuffle(batches)
+        return iter(batches)
+
+
 class InfiniteLoader:
     """Endless cycling iterator (the trainer's cycle(), CTCLIPTrainer.py:393)."""
 

@@ -1,0 +1,210 @@
+"""Video / NIfTI dataset utilities for the generative stack.
+
+Capability parity with transformer_maskgit data utilities (SURVEY §2.2):
+- VideoTextDataset (videotextdataset.py:25-135): walk
+  patient/accession/*.nii.gz trees, join an xlsx/csv report table by
+  AccessionNo, read per-volume metadata JSON for HU rescale + manufacturer
+  slice order ('PNMS' → reversed), inject "{age} years old {sex}:" into the
+  prompt, resample to (201, 128, 128) trilinear, cast/loop to a fixed frame
+  count;
+- VideoDataset (data.py:222-313): unpaired volumes;
+- tensor_to_nifti (data.py:105-125): write volumes back to .nii.gz;
+- video_to_gif/mp4 codecs (data.py:129-219) via cv2/PIL.
+
+nibabel-free: data/nifti.py reads, write_nifti below writes.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from vit_exp_tpu.data.nifti import read_nifti
+
+_STRIP = str.maketrans("", "", "\"'()")
+DEFAULT_TARGET = (201, 128, 128)
+
+
+def write_nifti(path: str, data: np.ndarray,
+                spacing: Tuple[float, ...] = (1.0, 1.0, 1.0)):
+    """Minimal NIfTI-1 float32 writer (tensor_to_nifti, data.py:105-125)."""
+    data = np.asarray(data, np.float32)
+    hdr = bytearray(352)
+    struct.pack_into("<i", hdr, 0, 348)
+    dims = [data.ndim] + list(data.shape) + [1] * (7 - data.ndim)
+    struct.pack_into("<8h", hdr, 40, *dims)
+    struct.pack_into("<h", hdr, 70, 16)  # float32
+    pix = list(spacing) + [1.0] * (7 - len(spacing))
+    struct.pack_into("<8f", hdr, 76, 1.0, *pix)
+    struct.pack_into("<f", hdr, 108, 352.0)
+    struct.pack_into("<h", hdr, 72, 32)  # bitpix
+    magic = b"n+1\x00"
+    hdr[344:348] = magic
+    payload = bytes(hdr) + data.astype("<f4").tobytes(order="F")
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(path, "wb") as f:
+        f.write(payload)
+
+
+def _resample_to(volume_dhw: np.ndarray, target=DEFAULT_TARGET) -> np.ndarray:
+    import jax.numpy as jnp
+
+    from vit_exp_tpu.ops.preprocess import resize_trilinear
+
+    return np.asarray(
+        resize_trilinear(jnp.asarray(volume_dhw, jnp.float32), target)
+    )
+
+
+def load_hu_volume(
+    nii_path: str, metadata: Optional[Dict] = None,
+    target=DEFAULT_TARGET,
+) -> np.ndarray:
+    """nii.gz (+ sidecar _metadata.json) → (1, D, H, W) in [-1, 1]
+    (nii_img_to_tensor, videotextdataset.py:96-127)."""
+    if metadata is None:
+        meta_path = str(nii_path).replace(".nii.gz", "") + "_metadata.json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                metadata = json.load(f)
+        else:
+            metadata = {}
+    img = read_nifti(nii_path).astype(np.float32)  # (H, W, S)
+    slope = int(float(metadata.get("RescaleSlope", 1)))
+    intercept = int(float(metadata.get("RescaleIntercept", 0)))
+    img = np.clip(slope * img + intercept, -1000, 1000) / 1000.0
+    if metadata.get("Manufacturer") == "PNMS":
+        img = img[:, :, ::-1]  # reversed slice order quirk
+    vol = np.transpose(img, (2, 0, 1))  # (D, H, W)
+    if target is not None:
+        vol = _resample_to(vol, target)
+    return vol[None].astype(np.float32)
+
+
+def cast_num_frames(video: np.ndarray, frames: int) -> np.ndarray:
+    """Crop or edge-repeat the frame axis to exactly `frames`
+    (transformer_maskgit data.py cast_num_frames)."""
+    d = video.shape[1]
+    if d == frames:
+        return video
+    if d > frames:
+        return video[:, :frames]
+    pad = np.repeat(video[:, -1:], frames - d, axis=1)
+    return np.concatenate([video, pad], axis=1)
+
+
+def _age_sex_prefix(metadata: Dict) -> str:
+    try:
+        age = str(metadata["PatientAge"])[:-1].zfill(3)[1:]
+    except Exception:
+        age = "None"
+    sex = str(metadata.get("PatientSex", "None"))
+    sex = {"m": "male", "f": "female"}.get(sex.lower(), sex)
+    return f"{age} years old {sex}"
+
+
+class VideoTextDataset:
+    def __init__(
+        self,
+        data_folder: str,
+        report_table: str,
+        *,
+        target=DEFAULT_TARGET,
+        num_frames: Optional[int] = None,
+        min_slices: int = 100,
+        max_slices: int = 600,
+    ):
+        import pandas as pd
+
+        if report_table.endswith(".csv"):
+            df = pd.read_csv(report_table)
+        else:
+            df = pd.read_excel(report_table)
+        acc_to_text = dict(zip(df["AccessionNo"], df["Impressions"]))
+
+        self.target = target
+        self.num_frames = num_frames
+        self.samples: List[Tuple[str, str]] = []
+        for patient in sorted(glob.glob(os.path.join(data_folder, "*"))):
+            for acc_folder in sorted(glob.glob(os.path.join(patient, "*"))):
+                acc = os.path.basename(acc_folder)
+                if acc not in acc_to_text:
+                    continue
+                for nii in sorted(
+                    glob.glob(os.path.join(acc_folder, "*.nii.gz"))
+                ):
+                    meta_path = nii.replace(".nii.gz", "") + "_metadata.json"
+                    metadata = {}
+                    if os.path.exists(meta_path):
+                        with open(meta_path) as f:
+                            metadata = json.load(f)
+                    text = (
+                        f"{_age_sex_prefix(metadata)}: {acc_to_text[acc]}"
+                    )
+                    self.samples.append((nii, text))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, index: int) -> Dict:
+        nii, text = self.samples[index]
+        video = load_hu_volume(nii, target=self.target)
+        if self.num_frames:
+            video = cast_num_frames(video, self.num_frames)
+        return {"image": video, "text": text.translate(_STRIP)}
+
+
+class VideoDataset:
+    """Unpaired volumes (data.py:222-313)."""
+
+    def __init__(self, data_folder: str, *, target=DEFAULT_TARGET,
+                 num_frames: Optional[int] = None):
+        self.paths = sorted(
+            glob.glob(os.path.join(data_folder, "**", "*.nii.gz"),
+                      recursive=True)
+        )
+        self.target = target
+        self.num_frames = num_frames
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, index: int) -> Dict:
+        video = load_hu_volume(self.paths[index], target=self.target)
+        if self.num_frames:
+            video = cast_num_frames(video, self.num_frames)
+        return {"image": video, "data_type": "video"}
+
+
+def video_to_gif(video_dhw: np.ndarray, path: str, fps: int = 10):
+    """(D, H, W) in [-1, 1] or [0, 1] → animated gif (data.py:129-180)."""
+    from PIL import Image
+
+    v = np.asarray(video_dhw, np.float32)
+    lo, hi = float(v.min()), float(v.max())
+    v8 = ((v - lo) / max(hi - lo, 1e-9) * 255).astype(np.uint8)
+    frames = [Image.fromarray(s) for s in v8]
+    frames[0].save(path, save_all=True, append_images=frames[1:],
+                   duration=int(1000 / fps), loop=0)
+
+
+def video_to_mp4(video_dhw: np.ndarray, path: str, fps: int = 10):
+    """(D, H, W) → mp4 via cv2 (data.py:183-219)."""
+    import cv2
+
+    v = np.asarray(video_dhw, np.float32)
+    lo, hi = float(v.min()), float(v.max())
+    v8 = ((v - lo) / max(hi - lo, 1e-9) * 255).astype(np.uint8)
+    h, w = v8.shape[1:]
+    writer = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h), isColor=False
+    )
+    for frame in v8:
+        writer.write(frame)
+    writer.release()

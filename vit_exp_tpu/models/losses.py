@@ -252,3 +252,15 @@ def open_seg_loss(
     if return_class_loss:
         return loss, class_loss
     return loss
+
+
+def label_smoothing_nll(
+    logits: jnp.ndarray, targets: jnp.ndarray, smoothing: float = 0.1
+) -> jnp.ndarray:
+    """Label-smoothed NLL (scripts/src/models/utils.py LabelSmoothing):
+    confidence on the target class, smoothing spread over the rest."""
+    n = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    smooth = -jnp.mean(logp, axis=-1)
+    return jnp.mean((1.0 - smoothing) * nll + smoothing * smooth)
