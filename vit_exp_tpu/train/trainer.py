@@ -65,6 +65,7 @@ class CTClipTrainer:
         mesh_config: Optional[MeshConfig] = None,
         resume_step: Optional[int] = None,
         eval_hooks: Optional[Dict[str, Callable]] = None,
+        sample_hooks: Optional[Dict[str, Callable]] = None,
         rng_seed: Optional[int] = None,
     ):
         self.model = model
@@ -130,6 +131,9 @@ class CTClipTrainer:
             exp_name=config.exp_name,
         )
         self.eval_hooks = eval_hooks or {}
+        # sample_val hooks: visual tests every sample_val_every steps
+        # (CTCLIPTrainer.py:722-727); hook(params, step) → {name: path}
+        self.sample_hooks = sample_hooks or {}
 
     def _init_params(self, rng):
         a = self.config.arch
@@ -199,6 +203,17 @@ class CTClipTrainer:
                     res = hook(self.state.params)
                     self.logger.log(
                         {f"eval/{name}/{k}": v for k, v in res.items()},
+                        step=self.step,
+                    )
+            if (
+                tcfg.sample_val_every and self.sample_hooks
+                and (self.step + 1) % tcfg.sample_val_every == 0
+            ):
+                for name, hook in self.sample_hooks.items():
+                    paths = hook(self.state.params, self.step)
+                    self.logger.log(
+                        {f"sample/{name}/{k}": str(v)
+                         for k, v in paths.items()},
                         step=self.step,
                     )
         self.ckpt.save(self.step, self.state)
