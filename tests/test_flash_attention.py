@@ -102,3 +102,14 @@ def test_cosine_attention_pallas_impl_matches_xla():
     np.testing.assert_allclose(
         np.asarray(out_p), np.asarray(out_x), atol=2e-5
     )
+
+
+def test_fast_softmax_close_to_fp32():
+    q, k, v = _mk(1, 2, 64, 16, seed=21)
+    out_fast = flash_attention(q, k, v, block_q=32, block_k=32,
+                               interpret=True, fast_softmax=True)
+    out_fp32 = flash_attention(q, k, v, block_q=32, block_k=32,
+                               interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out_fast), np.asarray(out_fp32), atol=5e-3
+    )

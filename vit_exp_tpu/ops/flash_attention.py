@@ -64,7 +64,8 @@ def _pad_axis(x, target, axis, value=0.0):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(*refs, scale, kv_len, block_k, save_lse, n_null):
+def _fwd_kernel(*refs, scale, kv_len, block_k, save_lse, n_null,
+                fast_softmax=False):
     if n_null:
         q_ref, k_ref, v_ref, nk_ref, nv_ref = refs[:5]
         rest = refs[5:]
@@ -118,9 +119,16 @@ def _fwd_kernel(*refs, scale, kv_len, block_k, save_lse, n_null):
     m_prev = m_ref[:, :1]
     m_cur = jnp.max(logits, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(logits - m_new)
+    if fast_softmax:
+        # bf16 exp: ~half the VPU work; the l-sum accumulates in fp32 and
+        # p ≤ 1 so the bf16 relative error (~2^-8) is benign for attention
+        p = jnp.exp((logits - m_new).astype(jnp.bfloat16))
+        p_sum = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+    else:
+        p = jnp.exp(logits - m_new)
+        p_sum = jnp.sum(p, axis=-1, keepdims=True)
     correction = jnp.exp(m_prev - m_new)
-    l_new = correction * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+    l_new = correction * l_ref[:, :1] + p_sum
     acc_ref[...] = acc_ref[...] * correction + jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -137,7 +145,7 @@ def _fwd_kernel(*refs, scale, kv_len, block_k, save_lse, n_null):
 
 
 def _flash_fwd(q, k, v, nk, nv, scale, kv_len, block_q, block_k, interpret,
-               save_lse, n_null):
+               save_lse, n_null, fast_softmax=False):
     """q: (bh, nq, dp); k/v: (bh, nkv_padded, dp); nk/nv: (bh, NULL_PAD, dp).
     kv_len counts REAL (non-null) tokens.  Returns (out, lse) with lse laid
     out (bh, nq, 1) — a lane-1 trailing dim keeps TPU block tiling legal
@@ -170,7 +178,7 @@ def _flash_fwd(q, k, v, nk, nv, scale, kv_len, block_q, block_k, interpret,
     res = pl.pallas_call(
         functools.partial(
             _fwd_kernel, scale=scale, kv_len=kv_len, block_k=block_k,
-            save_lse=save_lse, n_null=n_null,
+            save_lse=save_lse, n_null=n_null, fast_softmax=fast_softmax,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -340,23 +348,26 @@ def _flash_bwd_concat(q, kc, vc, out, lse, g, scale, kv_len, block_q, block_k,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _flash_core(q, k, v, nk, nv, scale, n_real, n_null, block_q, block_k,
-                interpret):
+                interpret, fast_softmax):
     out, _ = _flash_fwd(q, k, v, nk, nv, scale, n_real, block_q, block_k,
-                        interpret, save_lse=False, n_null=n_null)
+                        interpret, save_lse=False, n_null=n_null,
+                        fast_softmax=fast_softmax)
     return out
 
 
 def _flash_core_fwd(q, k, v, nk, nv, scale, n_real, n_null, block_q, block_k,
-                    interpret):
+                    interpret, fast_softmax):
+    # training path keeps the fp32 softmax (lse feeds the backward)
     out, lse = _flash_fwd(q, k, v, nk, nv, scale, n_real, block_q, block_k,
                           interpret, save_lse=True, n_null=n_null)
     return out, (q, k, v, nk, nv, out, lse)
 
 
 def _flash_core_bwd(scale, n_real, n_null, block_q, block_k, interpret,
-                    res, g):
+                    fast_softmax, res, g):
     q, k, v, nk, nv, out, lse = res
     if n_null:
         # concat REAL nulls in front; ragged length handled by tail masking
@@ -400,6 +411,7 @@ def flash_attention(
     block_k: int = DEFAULT_BLOCK_K,
     interpret: Optional[bool] = None,
     null_strategy: str = "concat",
+    fast_softmax: bool = False,
 ) -> jnp.ndarray:
     """softmax over [null_kv ++ kv] of (q k^T * scale), weighted sum of v.
 
@@ -447,5 +459,6 @@ def flash_attention(
 
     out = _flash_core(
         qp, kp, vp, nk, nv, scale, nkv, n_null, block_q, block_k, interpret,
+        fast_softmax,
     )
     return out.reshape(b, h, nq_pad, dp)[:, :, :nq, :d]
