@@ -1,0 +1,101 @@
+"""Latents dump + retrieval CLI — run_zero_shot_latent.py /
+run_forward_data.py / volume_to_volume_new.py equivalents.
+
+Usage:
+    python -m vit_exp_tpu.cli.run_latents --config cfg.yaml \
+        --results_folder out/ [--model_path ckpt] [--synthetic N] \
+        [--retrieval volume|report|both] [--topk 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--model_path", default=None)
+    parser.add_argument("--torch_ckpt", action="store_true")
+    parser.add_argument("--results_folder", required=True)
+    parser.add_argument("--vocab", default=None)
+    parser.add_argument("--data_folder", default=None)
+    parser.add_argument("--reports_csv", default=None)
+    parser.add_argument("--labels_csv", default=None)
+    parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--retrieval", default="both",
+                        choices=["none", "volume", "report", "both"])
+    parser.add_argument("--topk", type=int, default=5)
+    args = parser.parse_args(argv)
+
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vit_exp_tpu.core.config import load_config
+    from vit_exp_tpu.data.tokenizer import load_tokenizer
+    from vit_exp_tpu.eval.latents import (
+        dump_latents,
+        report_to_volume,
+        volume_to_volume,
+    )
+    from vit_exp_tpu.eval.zero_shot import ZeroShotClassifier
+    from vit_exp_tpu.models.bert import BertConfig
+    from vit_exp_tpu.models.ctclip import CTCLIP
+    from vit_exp_tpu.models.factory import build_ctclip
+
+    config = load_config(args.config)
+    tokenizer = load_tokenizer(args.vocab)
+    bert_cfg = BertConfig(vocab_size=tokenizer.vocab_size)
+    attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    model = build_ctclip(config, bert_config=bert_cfg, attn_impl=attn_impl)
+
+    a = config.arch
+    if args.model_path:
+        from vit_exp_tpu.cli.run_zero_shot_cls import load_params
+
+        params = load_params(model, config, args.model_path,
+                             torch_ckpt=args.torch_ckpt, bert_cfg=bert_cfg)
+    else:
+        params = nn.unbox(
+            model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, a.channels, a.temporal_size, a.image_size,
+                           a.image_size), jnp.float32),
+                jnp.zeros((1, 16), jnp.int32), method=CTCLIP.init_all,
+            )
+        )["params"]
+
+    if args.synthetic:
+        from vit_exp_tpu.data.synthetic import SyntheticInferenceDataset
+
+        dataset = SyntheticInferenceDataset(args.synthetic, arch=config.arch)
+    else:
+        from vit_exp_tpu.data.datasets import CTReportInferenceDataset
+
+        dataset = CTReportInferenceDataset(
+            args.data_folder, args.reports_csv, args.labels_csv,
+            tokenizer=tokenizer,
+        )
+
+    engine = ZeroShotClassifier(model, params, tokenizer)
+    out = dump_latents(engine, dataset, args.results_folder)
+    summary = {"n": int(out["image_latents"].shape[0])}
+    if args.retrieval in ("volume", "both"):
+        v2v = volume_to_volume(out["image_latents"], k=args.topk)
+        np.savez(f"{args.results_folder}/volume_to_volume.npz",
+                 **{k: v for k, v in v2v.items()})
+        summary["v2v_mean_top1_sim"] = float(v2v["similarities"][:, 0].mean())
+    if args.retrieval in ("report", "both"):
+        r2v = report_to_volume(out["text_latents"], out["image_latents"],
+                               k=args.topk)
+        np.savez(f"{args.results_folder}/report_to_volume.npz",
+                 indices=r2v["indices"], similarities=r2v["similarities"])
+        summary["report_to_volume_recall_at_k"] = r2v["recall_at_k"]
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
