@@ -109,9 +109,60 @@ def main(argv=None):
     )
 
     datasets = build_datasets(config, tokenizer, synthetic=args.synthetic)
+
+    # in-training eval/sample hooks from valid_test_list / sample_test_list
+    hooks = {"eval_hooks": {}, "sample_hooks": {}}
+    if config.valid_test_list or config.sample_test_list:
+        from vit_exp_tpu.eval.hooks import build_eval_hooks
+
+        cls_ds = seg_ds = open_ds = None
+        valid = config.extra.get("valid_data", {})
+        if args.synthetic:
+            from vit_exp_tpu.data.synthetic import (
+                SyntheticCTDataset,
+                SyntheticInferenceDataset,
+            )
+
+            cls_ds = SyntheticInferenceDataset(
+                max(args.synthetic // 2, 2), arch=config.arch
+            )
+            if config.ct_clip_arch.use_open_seg:
+                open_ds = SyntheticCTDataset(
+                    "imageopenseg", n=2, arch=config.arch,
+                    tokenizer=tokenizer, n_classes=4,
+                )
+        elif valid:
+            from vit_exp_tpu.data.datasets import (
+                CTOpenSegDataset,
+                CTReportInferenceDataset,
+                CTSegDataset,
+            )
+
+            if "cls" in valid:
+                cls_ds = CTReportInferenceDataset(
+                    valid["cls"]["data_folder"], valid["cls"]["reports_csv"],
+                    valid["cls"]["labels_csv"], tokenizer=tokenizer,
+                )
+            if "seg" in valid:
+                seg_ds = CTSegDataset(valid["seg"]["data_folder"],
+                                      valid["seg"]["mask_folder"])
+            if "open_seg" in valid:
+                open_ds = CTOpenSegDataset(
+                    valid["open_seg"]["data_folder"],
+                    valid["open_seg"]["mask_folder"],
+                    valid["open_seg"]["seg_mask_name_table"],
+                    tokenizer=tokenizer,
+                )
+        hooks = build_eval_hooks(
+            config, model, tokenizer, cls_dataset=cls_ds,
+            seg_dataset=seg_ds, open_seg_dataset=open_ds,
+        )
+
     resume = -1 if args.auto_resume else args.resume
     trainer = CTClipTrainer(model, config, datasets=datasets,
-                            resume_step=resume)
+                            resume_step=resume,
+                            eval_hooks=hooks["eval_hooks"],
+                            sample_hooks=hooks["sample_hooks"])
     trainer.train(num_steps=args.steps)
 
 

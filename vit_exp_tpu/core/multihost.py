@@ -1,0 +1,61 @@
+"""Multi-host / multi-process utilities.
+
+The reference scales across hosts with `accelerate launch` + NCCL env
+plumbing (scripts/README.md:19-27, run_train_from_sratch.sh).  The JAX
+equivalent is jax.distributed: every host runs the same program, the mesh
+spans all hosts' devices, and per-host responsibilities (logging,
+checkpoint writes, eval) are guarded by process_index — helpers below.
+
+On a single host everything is a no-op, so the same entry points run
+unchanged from a laptop CPU to a multi-slice pod.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+):
+    """Initialize jax.distributed from args or the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID); no-op
+    when single-process."""
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if not coordinator_address:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=int(
+            num_processes or os.environ.get("JAX_NUM_PROCESSES", 1)
+        ),
+        process_id=int(process_id or os.environ.get("JAX_PROCESS_ID", 0)),
+    )
+    return True
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def sync_hosts(name: str = "barrier"):
+    """Cross-host barrier via a tiny psum (cheap, compiled)."""
+    if jax.process_count() == 1:
+        return
+    import jax.numpy as jnp
+
+    x = jnp.ones((jax.local_device_count(),))
+    jax.block_until_ready(
+        jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(x)
+    )

@@ -24,7 +24,6 @@ shardings set up once here and the bf16 policy inside the modules.
 from __future__ import annotations
 
 import os
-import time
 from typing import Any, Callable, Dict, List, Optional
 
 import numpy as np
@@ -47,7 +46,9 @@ from vit_exp_tpu.train.steps import (
     create_train_state,
     make_train_steps,
 )
+from vit_exp_tpu.core.multihost import is_main_process
 from vit_exp_tpu.utils.logging import MetricLogger
+from vit_exp_tpu.utils.profiling import StepTimer
 
 _BATCH_KEYS = (
     "image", "input_ids", "attention_mask", "seg_mask", "prompt_ids",
@@ -182,18 +183,24 @@ class CTClipTrainer:
         self.step += 1
         return logs
 
-    def train(self, num_steps: Optional[int] = None):
+    def train(self, num_steps: Optional[int] = None,
+              profile_dir: Optional[str] = None):
         tcfg = self.trainer_cfg
         total = num_steps or tcfg.num_train_steps
-        t_last = time.perf_counter()
+        timer = StepTimer()
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
         while self.step < total:
-            logs = self.train_step()
-            now = time.perf_counter()
-            logs["step_time_s"] = now - t_last
-            t_last = now
+            with timer:
+                logs = self.train_step()
+            logs.update(timer.metrics())
             self.logger.log(logs, step=self.step)
 
-            if tcfg.save_model_every and self.step % tcfg.save_model_every == 0:
+            if (
+                tcfg.save_model_every
+                and self.step % tcfg.save_model_every == 0
+                and is_main_process()
+            ):
                 self.ckpt.save(self.step, self.state)
             if (
                 tcfg.eval_model_every
@@ -216,5 +223,8 @@ class CTClipTrainer:
                          for k, v in paths.items()},
                         step=self.step,
                     )
-        self.ckpt.save(self.step, self.state)
+        if profile_dir:
+            jax.profiler.stop_trace()
+        if is_main_process():
+            self.ckpt.save(self.step, self.state)
         print("Training complete")
