@@ -19,11 +19,120 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 BASELINE_VOLUMES_PER_SEC = 8.0
+# reference train-step estimate: batch 4/GPU contrastive step on an A100 —
+# ~31 TFLOPs fwd+bwd at ~35% MFU + dataloader stalls ≈ 0.4-0.6 s/step
+BASELINE_TRAIN_STEPS_PER_SEC = 2.0
+
+
+def bench_train():
+    """Flagship contrastive train-step throughput on one chip."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    from vit_exp_tpu.core.config import ExperimentConfig
+    from vit_exp_tpu.models.bert import BertConfig
+    from vit_exp_tpu.models.factory import build_ctclip
+    from vit_exp_tpu.train.optimizer import build_optimizer
+    from vit_exp_tpu.train.steps import create_train_state
+
+    on_tpu = jax.default_backend() == "tpu"
+    arch = {
+        "dim": 768, "image_size": 480, "patch_size": 20,
+        "temporal_size": 240, "temporal_patch_size": 10,
+        "transformer_blocks": 8, "dim_head": 32, "heads": 8,
+    } if on_tpu else {
+        "dim": 48, "image_size": 32, "patch_size": 8,
+        "temporal_size": 16, "temporal_patch_size": 4,
+        "transformer_blocks": 2, "dim_head": 8, "heads": 4,
+    }
+    batch, text_len, iters = (4, 512, 3) if on_tpu else (2, 16, 2)
+    bert_cfg = BertConfig() if on_tpu else BertConfig.tiny()
+    config = ExperimentConfig.from_dict(
+        {"trainer": {"lr": 1e-5, "max_grad_norm": 0.5}, "arch": arch}
+    )
+    model = build_ctclip(
+        config, bert_config=bert_cfg,
+        attn_impl="pallas" if on_tpu else "xla", remat=True,
+    )
+    a = config.arch
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(
+        rng.standard_normal((batch, 1, a.temporal_size, a.image_size,
+                             a.image_size)), jnp.bfloat16,
+    )
+    ids = jnp.asarray(rng.integers(0, bert_cfg.vocab_size,
+                                   (batch, text_len)), jnp.int32)
+    mask = jnp.ones((batch, text_len), jnp.int32)
+    params = nn.unbox(
+        model.init(jax.random.PRNGKey(0), video[:1], ids[:1], mask[:1])
+    )["params"]
+    tx = build_optimizer(config.trainer)
+    batch_dict = {"image": video, "input_ids": ids, "attention_mask": mask}
+
+    # serial chain of n steps inside one dispatch (relay-robust timing)
+    def run_n(n):
+        def chained(state):
+            def body(_, st):
+                st, _m = _step_body(st)
+                return st
+            return jax.lax.fori_loop(0, n, body, state)
+
+        def _step_body(st):
+            return _raw_step(st, batch_dict, 1.0)
+
+        return jax.jit(chained)
+
+    # un-jitted step body for composition inside the fori_loop chain
+    import optax
+
+    def _raw_step(state, batch, w):
+        from vit_exp_tpu.models import losses
+        from vit_exp_tpu.models.ctclip import CTCLIP
+
+        def loss_fn(p):
+            out = model.apply({"params": p}, batch["image"],
+                              batch["input_ids"], batch["attention_mask"])
+            return losses.infonce_loss(
+                out["text_latents"], out["image_latents"],
+                out["temperature"],
+            ) * w
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        from vit_exp_tpu.train.steps import TrainState
+
+        return TrainState(new_params, opt_state, state.step + 1), loss
+
+    state = create_train_state(params, tx)
+    run1, runk = run_n(1), run_n(1 + iters)
+    jax.block_until_ready(run1(state).step)
+    jax.block_until_ready(runk(state).step)
+
+    state2 = create_train_state(
+        jax.tree_util.tree_map(lambda x: x * (1 + 1e-6), params), tx
+    )
+    t0 = time.perf_counter()
+    jax.block_until_ready(run1(state2).step)
+    dt1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.block_until_ready(runk(state2).step)
+    dtk = time.perf_counter() - t0
+    dt = max(dtk - dt1, 1e-9)
+    steps_per_sec = iters / dt
+    print(json.dumps({
+        "metric": "contrastive_train_steps_per_sec_per_chip_bs4",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/sec/chip",
+        "vs_baseline": round(steps_per_sec / BASELINE_TRAIN_STEPS_PER_SEC, 3),
+    }))
 
 
 def main():
@@ -144,4 +253,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv:
+        bench_train()
+    else:
+        main()

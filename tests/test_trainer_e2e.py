@@ -162,3 +162,32 @@ def test_zero_shot_seg_engine(tmp_path):
     res = engine.infer(ds, results_folder=str(tmp_path / "seg"))
     assert "mean_dice" in res
     assert os.path.exists(tmp_path / "seg" / "dice_scores.npy")
+
+
+def test_zero_shot_engine_sharded(tmp_path):
+    """Engine drives the whole 8-device mesh (multi-chip eval path)."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from vit_exp_tpu.core.mesh import MeshConfig, create_mesh
+    from vit_exp_tpu.eval.zero_shot import ZeroShotClassifier
+    from vit_exp_tpu.models.ctclip import CTCLIP
+
+    config = _config(tmp_path)
+    tok = HashTokenizer(vocab_size=128, max_length=12)
+    model = build_ctclip(config, bert_config=BertConfig.tiny(),
+                         policy=FP32_POLICY, dim_latent=16)
+    params = nn.unbox(
+        model.init(jax.random.PRNGKey(0),
+                   jnp.ones((1, 1, 8, 8, 8), jnp.float32),
+                   jnp.ones((1, 12), jnp.int32), method=CTCLIP.init_all)
+    )["params"]
+    mesh = create_mesh(MeshConfig())
+    engine = ZeroShotClassifier(
+        model, params, tok, pathologies=["nodule", "effusion"],
+        max_text_len=12, batch_size=1, mesh=mesh,
+    )
+    assert engine.batch_size == 8  # per-chip 1 × 8 shards
+    ds = SyntheticInferenceDataset(n=10, arch=config.arch, n_labels=2)
+    res = engine.infer(ds)
+    assert "mean_auc" in res

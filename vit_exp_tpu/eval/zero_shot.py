@@ -66,12 +66,20 @@ class ZeroShotClassifier:
         pathologies: Sequence[str] = PATHOLOGIES,
         max_text_len: int = 512,
         batch_size: int = 4,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh — volumes are sharded over its
+        ('data','fsdp') axes so one engine drives a whole slice (per-chip
+        batch = batch_size; pass batch_size = per_chip × n_data_shards)."""
         self.model = model
         self.params = params
         self.tokenizer = tokenizer
         self.pathologies = list(pathologies)
         self.max_text_len = max_text_len
+        self.mesh = mesh
+        if mesh is not None:
+            shards = mesh.shape.get("data", 1) * mesh.shape.get("fsdp", 1)
+            batch_size = batch_size * shards
         self.batch_size = batch_size
 
         @jax.jit
@@ -112,10 +120,16 @@ class ZeroShotClassifier:
         """(B, 1, D, H, W) → (B, n_pathologies) P(present)."""
         if self._cached_text is None:
             self.prepare()
-        return np.asarray(
-            self._probs_fn(self.params, jnp.asarray(volumes),
-                           self._cached_text)
-        )
+        v = jnp.asarray(volumes)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            v = jax.device_put(
+                v,
+                NamedSharding(self.mesh,
+                              P(("data", "fsdp"), *([None] * (v.ndim - 1)))),
+            )
+        return np.asarray(self._probs_fn(self.params, v, self._cached_text))
 
     def infer(
         self,
