@@ -136,3 +136,49 @@ def test_sentence_shuffle_augment():
     assert sorted(split_sentences(out)) == sorted(split_sentences(text))
     assert shuffle_sentences_augment(text, p=0.0) == text
     assert shuffle_sentences_augment("  ", p=1.0) == "  "
+
+
+def test_radbert_roberta_conversion_parity():
+    """Our classifier == HF RobertaModel+pooler+head on converted weights."""
+    import pytest
+
+    transformers = pytest.importorskip("transformers")
+
+    torch.manual_seed(0)
+    hf_cfg = transformers.RobertaConfig(
+        vocab_size=99, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=48,
+        max_position_embeddings=40, type_vocab_size=1, hidden_act="gelu",
+        pad_token_id=1,
+    )
+    hf = transformers.RobertaModel(hf_cfg, add_pooling_layer=True).eval()
+    head = torch.nn.Linear(32, 3)
+
+    sd = {f"model.{k}": v for k, v in hf.state_dict().items()}
+    sd["classifier.weight"] = head.weight
+    sd["classifier.bias"] = head.bias
+
+    from vit_exp_tpu.models.bert import BertConfig
+    from vit_exp_tpu.text_classifier.classifier import (
+        RadBertClassifier,
+        convert_hf_radbert,
+    )
+
+    cfg = BertConfig(vocab_size=99, hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=4, intermediate_size=48,
+                     max_position_embeddings=38, type_vocab_size=1)
+    params = convert_hf_radbert(sd, cfg, n_classes=3)
+    # trailing-padded batch: HF roberta position ids = cumsum(mask)+1
+    rng = np.random.default_rng(0)
+    ids = rng.integers(2, 99, (2, 9))
+    mask = np.ones((2, 9), dtype=np.int64)
+    with torch.no_grad():
+        out = hf(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(mask))
+        ref = head(out.pooler_output).numpy()
+
+    model = RadBertClassifier(cfg, n_classes=3)
+    ours = np.asarray(
+        model.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask))
+    )
+    np.testing.assert_allclose(ours, ref, atol=3e-4)

@@ -101,3 +101,54 @@ def report_to_volume(text_latents: np.ndarray, image_latents: np.ndarray,
 def volume_to_report(image_latents: np.ndarray, text_latents: np.ndarray,
                      k: int = 5) -> Dict[str, np.ndarray]:
     return report_to_volume(image_latents, text_latents, k)
+
+
+def dump_encodings(engine, dataset, out_folder: str, *, limit=None):
+    """Raw encoded image tokens per accession (forward_data.py:253-283
+    `return_encodings` capability) — one npz per sample."""
+    import jax.numpy as jnp
+
+    from vit_exp_tpu.models.ctclip import CTCLIP
+
+    os.makedirs(out_folder, exist_ok=True)
+    n = min(len(dataset), limit) if limit else len(dataset)
+    paths = []
+    for i in range(n):
+        item = dataset[i]
+        tokens = engine.model.apply(
+            {"params": engine.params}, jnp.asarray(item["image"][None]),
+            method=CTCLIP.encode_image_tokens,
+        )
+        acc = item.get("accession", f"sample_{i}").replace("/", "_")
+        path = os.path.join(out_folder, f"{acc}.encodings.npz")
+        np.savez(path, np.asarray(tokens[0], np.float32))
+        paths.append(path)
+    return paths
+
+
+def tsne_plot(latents: np.ndarray, out_path: str, labels=None,
+              perplexity: float = 5.0):
+    """2-D t-SNE scatter of latents (tsne_latents.py capability)."""
+    from sklearn.manifold import TSNE
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    emb = TSNE(
+        n_components=2, perplexity=min(perplexity, max(len(latents) - 2, 1)),
+        init="pca", random_state=0,
+    ).fit_transform(np.asarray(latents, np.float64))
+    fig, ax = plt.subplots(figsize=(6, 6))
+    color = None
+    if labels is not None:
+        labels = np.asarray(labels)
+        color = labels if labels.ndim == 1 else labels.argmax(-1)
+    sc = ax.scatter(emb[:, 0], emb[:, 1], c=color, s=14, cmap="tab10")
+    if color is not None:
+        fig.colorbar(sc, ax=ax)
+    ax.set_title("latent t-SNE")
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return emb

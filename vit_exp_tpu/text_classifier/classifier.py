@@ -43,8 +43,12 @@ class RadBertClassifier(nn.Module):
 
 
 def convert_hf_radbert(state_dict: Dict[str, Any], config: BertConfig,
-                       n_classes: int) -> Dict[str, Any]:
-    """HF roberta/bert state_dict (+ classifier head) → flax params."""
+                       n_classes: int, *, roberta: bool = True
+                       ) -> Dict[str, Any]:
+    """HF roberta/bert state_dict (+ classifier head) → flax params.
+
+    roberta=True (RadBERT is RoBERTa-based) applies the position-offset fix;
+    pass False for plain BERT checkpoints."""
 
     def np_(v):
         return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
@@ -56,6 +60,14 @@ def convert_hf_radbert(state_dict: Dict[str, Any], config: BertConfig,
         if not k.startswith("classifier")
     }
     params = {"encoder": convert_hf_bert_params(enc_sd, config)}
+    if roberta:
+        # HF Roberta position ids start at padding_idx+1 = 2; our encoder
+        # indexes positions from 0 → drop the first two (pad-reserved) rows
+        # (config.max_position_embeddings should be the HF value minus 2)
+        table = np.asarray(params["encoder"]["position_embeddings"])
+        params["encoder"]["position_embeddings"] = table[
+            2:2 + config.max_position_embeddings
+        ]
     for pool_key in ("pooler.dense", "bert.pooler.dense"):
         if f"{prefix}{pool_key}.weight" in state_dict:
             params["pooler"] = {
