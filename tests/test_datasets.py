@@ -1,0 +1,121 @@
+"""Dataset classes over a real (tiny) npz tree + CSV joins."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vit_exp_tpu.data.datasets import (
+    CTOpenSegDataset,
+    CTReportDataset,
+    CTReportInferenceDataset,
+    CTSegDataset,
+    load_label_names,
+)
+from vit_exp_tpu.data.tokenizer import HashTokenizer
+
+
+@pytest.fixture
+def ct_tree(tmp_path):
+    """train_{pid}/{pid}{scan}/name.npz tree + reports + labels CSVs."""
+    rng = np.random.default_rng(0)
+    names = []
+    for pid, scan in [("1", "a"), ("2", "a"), ("2", "b"), ("3", "a"),
+                      ("4", "a")]:
+        folder = tmp_path / "imgs" / f"train_{pid}" / f"train_{pid}{scan}"
+        folder.mkdir(parents=True)
+        vol = rng.uniform(-1.2, 1.2, (6, 10, 10)).astype(np.float32)
+        name = f"train_{pid}_{scan}_1"
+        np.savez(folder / f"{name}.npz", vol)
+        names.append(name + ".nii.gz")
+    pd.DataFrame(
+        {
+            "VolumeName": names,
+            "Findings_EN": [f"findings {i} (left)." for i in range(5)],
+            "Impressions_EN": [f"impression {i}" for i in range(5)],
+        }
+    ).to_csv(tmp_path / "reports.csv", index=False)
+    pd.DataFrame(
+        {
+            "VolumeName": names,
+            "Cardiomegaly": [1, 0, 1, 0, 1],
+            "Emphysema": [0, 0, 1, 1, 0],
+        }
+    ).to_csv(tmp_path / "labels.csv", index=False)
+    return tmp_path
+
+
+def test_ct_report_dataset(ct_tree):
+    tok = HashTokenizer(vocab_size=256, max_length=16)
+    ds = CTReportDataset(
+        str(ct_tree / "imgs"), str(ct_tree / "reports.csv"),
+        tokenizer=tok, max_text_len=16, keep_percent=80,
+    )
+    assert len(ds) == 4  # 80% of 5
+    item = ds[0]
+    assert item["image"].shape == (1, 240, 480, 480)
+    assert item["data_type"] == "imagereport"
+    assert "(" not in item["text"] and ")" not in item["text"]
+    assert item["input_ids"].shape == (16,)
+    # file-list cache was written and reloading uses it
+    cache = ct_tree / "imgs" / "tmp_cache_data_list" / "image_samples_tpu.txt"
+    assert cache.exists()
+    ds2 = CTReportDataset(
+        str(ct_tree / "imgs"), str(ct_tree / "reports.csv"),
+        tokenizer=tok, max_text_len=16,
+    )
+    assert len(ds2) == len(ds)
+
+
+def test_ct_inference_dataset(ct_tree):
+    ds = CTReportInferenceDataset(
+        str(ct_tree / "imgs"), str(ct_tree / "reports.csv"),
+        str(ct_tree / "labels.csv"),
+    )
+    assert len(ds) == 5
+    assert ds.label_columns == ["Cardiomegaly", "Emphysema"]
+    item = ds[0]
+    assert item["onehot"].shape == (2,)
+    assert item["accession"].endswith(".nii.gz")
+    assert item["image"].shape == (1, 240, 480, 480)
+
+    limited = CTReportInferenceDataset(
+        str(ct_tree / "imgs"), str(ct_tree / "reports.csv"),
+        str(ct_tree / "labels.csv"), limit=2,
+    )
+    assert len(limited) == 2
+
+
+def test_ct_seg_datasets(tmp_path):
+    rng = np.random.default_rng(1)
+    (tmp_path / "imgs").mkdir()
+    (tmp_path / "masks").mkdir()
+    for i in range(3):
+        np.savez(tmp_path / "imgs" / f"s{i}.npz",
+                 rng.uniform(-1, 1, (6, 10, 10)).astype(np.float32))
+        np.savez(tmp_path / "masks" / f"s{i}.npz",
+                 (rng.random((2, 6, 10, 10)) > 0.5).astype(np.float32))
+    ds = CTSegDataset(str(tmp_path / "imgs"), str(tmp_path / "masks"))
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["image"].shape == (1, 6, 10, 10)
+    assert item["seg_mask"].shape == (2, 6, 10, 10)
+    assert item["data_type"] == "imageseg"
+
+    pd.DataFrame({"ID": [0, 1], "NAME": ["liver", "lung"]}).to_csv(
+        tmp_path / "names.csv", index=False
+    )
+    assert load_label_names(str(tmp_path / "names.csv")) == {
+        0: "liver", 1: "lung"
+    }
+    tok = HashTokenizer(vocab_size=256, max_length=12)
+    ods = CTOpenSegDataset(
+        str(tmp_path / "imgs"), str(tmp_path / "masks"),
+        str(tmp_path / "names.csv"), tokenizer=tok, max_text_len=12,
+    )
+    item = ods[0]
+    assert item["prompt_ids"].shape == (2, 12)
+    assert item["image"].shape == (1, 240, 480, 480)
+    assert item["seg_mask"].shape == (2, 240, 480, 480)
+    assert item["data_type"] == "imageopenseg"
