@@ -148,3 +148,26 @@ def test_loader_raises_on_empty():
     inf = InfiniteLoader(Loader(_ToyDataset(1), batch_size=4, drop_last=True))
     with pytest.raises(RuntimeError, match="no batches"):
         next(inf)
+
+
+def test_loader_abandoned_iterator_no_hang():
+    """Dropping an iterator mid-epoch must not leave producer threads
+    blocked (regression: q.put deadlock hung interpreter exit)."""
+    import gc
+    import threading
+
+    before = threading.active_count()
+    loader = Loader(_ToyDataset(64), batch_size=1, num_workers=4, prefetch=1)
+    it = iter(loader)
+    next(it)
+    del it
+    gc.collect()
+    deadline = 50  # 5s in 0.1s ticks
+    import time as _time
+
+    while threading.active_count() > before and deadline:
+        _time.sleep(0.1)
+        deadline -= 1
+    assert threading.active_count() <= before + 1, (
+        f"leaked threads: {threading.active_count() - before}"
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List
 
 import numpy as np
 
@@ -92,19 +92,37 @@ class Loader:
         def load_batch(indices):
             return collate([self.dataset[i] for i in indices])
 
+        def put_or_stop(item) -> bool:
+            """Bounded put that aborts when the consumer went away —
+            otherwise an abandoned iterator would leave this thread blocked
+            on a full queue forever (and its non-daemon pool workers would
+            hang interpreter exit)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
+            pool = ThreadPoolExecutor(self.num_workers)
+            try:
                 futures = [pool.submit(load_batch, b) for b in batches]
                 for fut in futures:
                     if stop.is_set():
                         fut.cancel()
                         continue
                     try:
-                        q.put(("ok", fut.result()))
+                        result = fut.result()
                     except Exception as e:  # surface loader errors downstream
-                        q.put(("err", e))
+                        put_or_stop(("err", e))
                         return
-            q.put(("done", None))
+                    if not put_or_stop(("ok", result)):
+                        return
+                put_or_stop(("done", None))
+            finally:
+                pool.shutdown(wait=False, cancel_futures=True)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

@@ -12,7 +12,7 @@ Capability parity with the reference's scripts (SURVEY.md §2.3 last row):
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 

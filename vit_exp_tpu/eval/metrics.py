@@ -13,7 +13,7 @@ a single class present are skipped like the reference's try/except
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

@@ -7,7 +7,7 @@ saves a PNG per label into plot_dir and returns the figure paths.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

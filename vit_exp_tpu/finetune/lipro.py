@@ -14,7 +14,7 @@ once per dataset (the probe then trains at memory speed).
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax
@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from vit_exp_tpu.models import losses
 from vit_exp_tpu.models.ctclip import CTCLIP
 
 LIPRO_POS_WEIGHTS = np.asarray([

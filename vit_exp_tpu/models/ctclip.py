@@ -25,7 +25,7 @@ downsample is in fact deterministic; we implement it that way.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import dataclasses
 
@@ -33,7 +33,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vit_exp_tpu.core.config import CTClipArchConfig, HeadConfig
+from vit_exp_tpu.core.config import CTClipArchConfig
 from vit_exp_tpu.core.precision import Policy, DEFAULT_POLICY
 from vit_exp_tpu.models.bert import BertConfig, BertModel
 from vit_exp_tpu.models.ctvit3d import CTViT3D

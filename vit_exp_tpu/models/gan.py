@@ -11,8 +11,6 @@ in).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ BERT 80/10/10 mask/random/keep split and CE on masked positions.
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

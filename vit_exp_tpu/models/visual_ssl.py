@@ -10,7 +10,7 @@ appropriate for CT windows).
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import flax.linen as nn
 import jax

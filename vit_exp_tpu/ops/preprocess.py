@@ -23,7 +23,7 @@ compiles once; loaders bucket shapes to bound retracing.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,10 +9,9 @@ the pooler mapping below.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import flax.linen as nn
-import jax.numpy as jnp
 import numpy as np
 
 from vit_exp_tpu.core.precision import Policy, FP32_POLICY

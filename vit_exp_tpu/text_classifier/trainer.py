@@ -9,7 +9,7 @@ the per-label P/R/F1 evaluation of eval.py:9-69.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

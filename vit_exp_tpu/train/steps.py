@@ -17,12 +17,11 @@ transpose (the reduce-scatter backward) automatically.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp
 import optax
-from flax.core import FrozenDict
 
 from vit_exp_tpu.core.config import ExperimentConfig
 from vit_exp_tpu.models import losses

@@ -41,11 +41,7 @@ from vit_exp_tpu.parallel.sharding import param_shardings
 from vit_exp_tpu.train.checkpoint import CheckpointManager
 from vit_exp_tpu.train.optimizer import build_optimizer
 from vit_exp_tpu.train.sampler import build_dataset_sampler
-from vit_exp_tpu.train.steps import (
-    TrainState,
-    create_train_state,
-    make_train_steps,
-)
+from vit_exp_tpu.train.steps import create_train_state, make_train_steps
 from vit_exp_tpu.core.multihost import is_main_process
 from vit_exp_tpu.utils.logging import MetricLogger
 from vit_exp_tpu.utils.profiling import StepTimer
