@@ -1,0 +1,18 @@
+#!/usr/bin/env bash
+# Checkpoint-sweep zero-shot eval (run_zero_shot_cls_multi_gpu_* equivalent):
+# shard the checkpoint list over N launcher invocations of this script with
+# SHARD_INDEX / NUM_SHARDS.
+set -euo pipefail
+CONFIG=$1; RESULTS=$2; shift 2
+SHARD_INDEX=${SHARD_INDEX:-0}
+NUM_SHARDS=${NUM_SHARDS:-1}
+i=0
+ARGS=()
+for ckpt in "$@"; do
+  if [ $((i % NUM_SHARDS)) -eq "$SHARD_INDEX" ]; then
+    ARGS+=(--model_path "$ckpt")
+  fi
+  i=$((i + 1))
+done
+exec python -m vit_exp_tpu.cli.run_zero_shot_cls --config "$CONFIG" \
+  --results_folder "$RESULTS" "${ARGS[@]}"

@@ -1,0 +1,35 @@
+"""Utils tests: logging, profiling, multihost guards."""
+
+import json
+import time
+
+from vit_exp_tpu.core.multihost import is_main_process, process_count
+from vit_exp_tpu.utils.logging import MetricLogger
+from vit_exp_tpu.utils.profiling import StepTimer
+
+
+def test_metric_logger_jsonl(tmp_path):
+    logger = MetricLogger(str(tmp_path), use_wandb=False)
+    logger.log({"loss": 1.5, "name": "abc"}, step=3)
+    logger.log({"loss": 1.2}, step=4)
+    logger.close()
+    lines = [json.loads(line) for line in open(tmp_path / "metrics.jsonl")]
+    assert lines[0]["step"] == 3 and lines[0]["loss"] == 1.5
+    assert lines[0]["name"] == "abc"
+    assert lines[1]["loss"] == 1.2
+
+
+def test_step_timer_skips_compile_steps():
+    timer = StepTimer(skip=2, decay=0.5)
+    for dt in (0.05, 0.05, 0.01, 0.01):
+        with timer:
+            time.sleep(dt)
+    m = timer.metrics()
+    assert "step_time_ema_s" in m
+    assert m["step_time_ema_s"] < 0.03  # slow 'compile' steps excluded
+    assert m["steps_per_sec_ema"] > 30
+
+
+def test_multihost_single_process():
+    assert is_main_process()
+    assert process_count() == 1
