@@ -157,7 +157,7 @@ def main():
         }
         bert_cfg = BertConfig()
         batch, text_len, iters = 4, 512, 5
-        attn_impl = "pallas"
+        attn_impl = "pallas_static"  # inference: bounded-logit kernel
     else:  # CPU smoke mode for development only
         arch = {
             "dim": 48, "image_size": 32, "patch_size": 8,

@@ -113,3 +113,71 @@ def test_fast_softmax_close_to_fp32():
     np.testing.assert_allclose(
         np.asarray(out_fast), np.asarray(out_fp32), atol=5e-3
     )
+
+
+def test_static_max_matches_running_max():
+    """Static-bound inference kernel == online-softmax kernel (+ null kv,
+    ragged tail) when the bound genuinely dominates the logits."""
+    rng = np.random.default_rng(31)
+    q, k, v = _mk(2, 2, 100, 16, seed=31)  # ragged vs block 32
+    nk = jnp.asarray(rng.standard_normal((2, 2, 2, 16)).astype(np.float32))
+    nv = jnp.asarray(rng.standard_normal((2, 2, 2, 16)).astype(np.float32))
+    # normalize rows so a unit bound is sound (mirrors cosine attention)
+    qn = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    kn = k / jnp.linalg.norm(k, axis=-1, keepdims=True)
+    nkn = nk / jnp.linalg.norm(nk, axis=-1, keepdims=True)
+    scale = 1.0 / np.sqrt(16)
+    bound = jnp.float32(scale)
+    out_static = flash_attention(
+        qn, kn, v, null_k=nkn, null_v=nv, scale=scale, block_q=32,
+        block_k=32, interpret=True, logit_bound=bound,
+    )
+    out_online = flash_attention(
+        qn, kn, v, null_k=nkn, null_v=nv, scale=scale, block_q=32,
+        block_k=32, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_static), np.asarray(out_online), atol=2e-5
+    )
+
+
+def test_cosine_attention_static_max_matches_xla():
+    rng = np.random.default_rng(41)
+    q, k, v = _mk(1, 2, 64, 16, seed=41)
+    nk = jnp.asarray(rng.standard_normal((2, 2, 16)).astype(np.float32))
+    nv = jnp.asarray(rng.standard_normal((2, 2, 16)).astype(np.float32))
+    qs = jnp.asarray((rng.standard_normal(16) ** 2 + 0.5).astype(np.float32))
+    ks = jnp.asarray((rng.standard_normal(16) ** 2 + 0.5).astype(np.float32))
+    kwargs = dict(null_k=nk, null_v=nv, q_scale=qs, k_scale=ks)
+    out_s = cosine_attention(q, k, v, impl="pallas", static_max=True, **kwargs)
+    out_x = cosine_attention(q, k, v, impl="xla", **kwargs)
+    np.testing.assert_allclose(
+        np.asarray(out_s), np.asarray(out_x), atol=2e-5
+    )
+
+
+def test_static_max_init_nulls_matches_online():
+    """Static kernel with null_strategy='init' (nulls seed the accumulator,
+    kv keeps its real length) == online kernel with concat nulls."""
+    rng = np.random.default_rng(51)
+    for n in (96, 100):  # divisible and ragged vs block 32
+        q, k, v = _mk(2, 2, n, 16, seed=51)
+        nk = jnp.asarray(rng.standard_normal((2, 2, 2, 16)).astype(np.float32))
+        nv = jnp.asarray(rng.standard_normal((2, 2, 2, 16)).astype(np.float32))
+        qn = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+        kn = k / jnp.linalg.norm(k, axis=-1, keepdims=True)
+        nkn = nk / jnp.linalg.norm(nk, axis=-1, keepdims=True)
+        scale = 1.0 / np.sqrt(16)
+        out_static = flash_attention(
+            qn, kn, v, null_k=nkn, null_v=nv, scale=scale, block_q=32,
+            block_k=32, interpret=True, logit_bound=jnp.float32(scale),
+            null_strategy="init",
+        )
+        out_online = flash_attention(
+            qn, kn, v, null_k=nkn, null_v=nv, scale=scale, block_q=32,
+            block_k=32, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_static), np.asarray(out_online), atol=2e-5,
+            err_msg=f"n={n}",
+        )

@@ -62,3 +62,61 @@ def test_patchify_unpatchify_roundtrip():
     tok = tok.transpose(0, 1, 2, 3, 5, 6, 7, 4).reshape(b, t, h, w, f)
     back = np.asarray(unpatchify_heads(jnp.asarray(tok), pt, p1, p2))
     np.testing.assert_allclose(back, x, atol=0)
+
+
+def test_fused_patch_embed_matches_sequential():
+    """fused conv form == patchify → LayerNorm(γ,β) → Linear (fp32 oracle)."""
+    from vit_exp_tpu.ops.patches import fused_patch_embed
+
+    rng = np.random.default_rng(4)
+    b, c, T, H, W = 2, 1, 8, 12, 12
+    pt, p1, p2 = 4, 3, 3
+    D = 16
+    n = c * pt * p1 * p2
+    video = rng.standard_normal((b, c, T, H, W)).astype(np.float32) * 2 + 0.5
+    gamma = rng.standard_normal(n).astype(np.float32) * 0.1 + 1.0
+    beta = rng.standard_normal(n).astype(np.float32) * 0.1
+    kernel = rng.standard_normal((n, D)).astype(np.float32) / np.sqrt(n)
+    bias = rng.standard_normal(D).astype(np.float32) * 0.1
+
+    patches = np.asarray(patchify_3d(jnp.asarray(video), pt, p1, p2))
+    mu = patches.mean(-1, keepdims=True)
+    var = patches.var(-1, keepdims=True)
+    ln = (patches - mu) / np.sqrt(var + 1e-5) * gamma + beta
+    oracle = ln @ kernel + bias
+
+    ours = np.asarray(fused_patch_embed(
+        jnp.asarray(video), jnp.asarray(gamma), jnp.asarray(beta),
+        jnp.asarray(kernel), jnp.asarray(bias), pt, p1, p2,
+        compute_dtype=jnp.float32,
+    ))
+    assert ours.shape == oracle.shape
+    np.testing.assert_allclose(ours, oracle, atol=2e-5, rtol=1e-5)
+
+
+def test_fused_patch_embed_multichannel():
+    """c>1 keeps the reference (c,pt,p1,p2) feature order."""
+    from vit_exp_tpu.ops.patches import fused_patch_embed
+
+    rng = np.random.default_rng(5)
+    b, c, T, H, W = 1, 3, 4, 4, 4
+    pt, p1, p2 = 2, 2, 2
+    D = 8
+    n = c * pt * p1 * p2
+    video = rng.standard_normal((b, c, T, H, W)).astype(np.float32)
+    gamma = rng.standard_normal(n).astype(np.float32) * 0.2 + 1.0
+    beta = rng.standard_normal(n).astype(np.float32) * 0.2
+    kernel = rng.standard_normal((n, D)).astype(np.float32) / np.sqrt(n)
+    bias = rng.standard_normal(D).astype(np.float32)
+
+    patches = np.asarray(patchify_3d(jnp.asarray(video), pt, p1, p2))
+    mu = patches.mean(-1, keepdims=True)
+    var = patches.var(-1, keepdims=True)
+    oracle = ((patches - mu) / np.sqrt(var + 1e-5) * gamma + beta) @ kernel + bias
+
+    ours = np.asarray(fused_patch_embed(
+        jnp.asarray(video), jnp.asarray(gamma), jnp.asarray(beta),
+        jnp.asarray(kernel), jnp.asarray(bias), pt, p1, p2,
+        compute_dtype=jnp.float32,
+    ))
+    np.testing.assert_allclose(ours, oracle, atol=2e-5, rtol=1e-5)

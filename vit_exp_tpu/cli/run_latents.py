@@ -49,7 +49,8 @@ def main(argv=None):
     config = load_config(args.config)
     tokenizer = load_tokenizer(args.vocab)
     bert_cfg = BertConfig(vocab_size=tokenizer.vocab_size)
-    attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    attn_impl = ("pallas_static" if jax.default_backend() == "tpu"
+                 else "xla")  # inference-only static-max kernel
     model = build_ctclip(config, bert_config=bert_cfg, attn_impl=attn_impl)
 
     a = config.arch

@@ -33,8 +33,54 @@ from vit_exp_tpu.models.layers import (
     _logical_init,
 )
 from vit_exp_tpu.ops.attention import cosine_attention
-from vit_exp_tpu.ops.patches import patchify_3d
+from vit_exp_tpu.ops.patches import fused_patch_embed
 from vit_exp_tpu.ops.posemb import sincos_pos_embed_3d
+
+
+class _LNParams(nn.Module):
+    """Declares BiasLayerNorm's exact params (gamma/beta) without running the
+    naive LN — the computation happens inside fused_patch_embed.  Name this
+    module `patch_norm_in` and the checkpoint param paths are unchanged."""
+
+    dim: int
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self):
+        gamma = self.param(
+            "gamma",
+            _logical_init(nn.initializers.ones_init(), ("embed",)),
+            (self.dim,), self.policy.param_dtype,
+        )
+        beta = self.param(
+            "beta",
+            _logical_init(nn.initializers.zeros_init(), ("embed",)),
+            (self.dim,), self.policy.param_dtype,
+        )
+        return gamma, beta
+
+
+class _DenseParams(nn.Module):
+    """Declares PDense's exact params (kernel/bias) for the fused embed."""
+
+    in_dim: int
+    features: int
+    axes: tuple = (None, "embed")
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            _logical_init(nn.initializers.lecun_normal(), self.axes),
+            (self.in_dim, self.features), self.policy.param_dtype,
+        )
+        bias = self.param(
+            "bias",
+            _logical_init(nn.initializers.zeros_init(), (self.axes[-1],)),
+            (self.features,), self.policy.param_dtype,
+        )
+        return kernel, bias
 
 
 class CosineSelfAttention(nn.Module):
@@ -97,6 +143,11 @@ class CosineSelfAttention(nn.Module):
         )
 
         impl = self.attn_impl
+        # "pallas_static": inference-only static-max kernel (logits bounded
+        # by the cosine-sim structure; no VJP — use for eval engines only)
+        static_max = impl == "pallas_static"
+        if static_max:
+            impl = "pallas"
         if attn_bias is not None and impl == "pallas":
             impl = "xla"  # bias path not in the kernel yet
         out = cosine_attention(
@@ -104,6 +155,7 @@ class CosineSelfAttention(nn.Module):
             null_k=null_k, null_v=null_v,
             q_scale=q_scale, k_scale=k_scale,
             scale=self.scale, mask=mask, attn_bias=attn_bias, impl=impl,
+            static_max=static_max,
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         return PDense(self.dim, axes=("heads", "embed"), use_bias=False,
@@ -169,13 +221,16 @@ class CTViT3D(nn.Module):
         """
         b = video.shape[0]
         n_t, n_h, n_w = self.grid
-        x = patchify_3d(
-            video.astype(self.policy.compute_dtype),
+        patch_dim = self.channels * self.patch_voxel_nums
+        gamma, beta = _LNParams(patch_dim, policy=self.policy,
+                                name="patch_norm_in")()
+        kernel, bias = _DenseParams(patch_dim, self.dim, policy=self.policy,
+                                    name="patch_proj")()
+        x = fused_patch_embed(
+            video, gamma, beta, kernel, bias,
             self.temporal_patch_size, self.patch_size, self.patch_size,
+            compute_dtype=self.policy.compute_dtype,
         )
-        x = BiasLayerNorm(policy=self.policy, name="patch_norm_in")(x)
-        x = PDense(self.dim, axes=(None, "embed"), policy=self.policy,
-                   name="patch_proj")(x)
         x = BiasLayerNorm(policy=self.policy, name="patch_norm_out")(x)
 
         x = x.reshape(b, n_t * n_h * n_w, self.dim)

@@ -62,6 +62,7 @@ def cosine_attention(
     mask: Optional[jnp.ndarray] = None,
     attn_bias: Optional[jnp.ndarray] = None,
     impl: str = "xla",
+    static_max: bool = False,
 ) -> jnp.ndarray:
     """q, k, v: (b, h, n, d).  null_k/null_v: (h, n_null, d).  q_scale/k_scale:
     (d,).  mask: broadcastable to (b, h, n_q, n_kv) with True = attend.
@@ -109,7 +110,23 @@ def cosine_attention(
             raise NotImplementedError(
                 "pallas path does not take a mask/bias yet"
             )
+        logit_bound = None
+        if static_max:
+            # after l2norm every q/k row has ‖·‖₂ ≤ 1, so with per-dim
+            # scales γ: q'·k'·scale ≤ scale·max|γ_q|·max|γ_k| — a sound
+            # softmax shift that lets the kernel skip the running max
+            # (inference only: the static path has no VJP)
+            bq = (jnp.max(jnp.abs(q_scale)) if q_scale is not None
+                  else jnp.float32(1.0))
+            bk = (jnp.max(jnp.abs(k_scale)) if k_scale is not None
+                  else jnp.float32(1.0))
+            logit_bound = (bq * bk).astype(jnp.float32) * scale
+        # static path keeps nulls OUT of k/v (kernel seeds the accumulator
+        # with them): kv keeps its real length, which lets flash_attention
+        # pick a block edge that divides it exactly (no pads/tail mask)
         return flash_attention(
-            q, k, v, scale=scale, null_k=nk, null_v=nv
+            q, k, v, scale=scale, null_k=nk, null_v=nv,
+            logit_bound=logit_bound,
+            null_strategy="init" if static_max else "concat",
         )
     raise ValueError(f"unknown attention impl {impl!r}")

@@ -15,7 +15,42 @@ reference (SURVEY.md §7 hard-part #4), which these functions reproduce:
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _conv_f32(x, k, strides, dn):
+    """conv_general_dilated with fp32 accumulation AND a working VJP.
+
+    lax.conv with preferred_element_type=f32 on bf16 operands produces an
+    f32 cotangent that the transposed-conv gradient rules reject (dtype
+    mismatch bf16 vs f32); here the backward casts the cotangent to the
+    operand dtype first — the grads round like every other bf16 matmul."""
+    return jax.lax.conv_general_dilated(
+        x, k, strides, "VALID", dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _conv_f32_fwd(x, k, strides, dn):
+    return _conv_f32(x, k, strides, dn), (x, k)
+
+
+def _conv_f32_bwd(strides, dn, res, gy):
+    x, k = res
+    _, vjp = jax.vjp(
+        lambda a, b: jax.lax.conv_general_dilated(
+            a, b, strides, "VALID", dimension_numbers=dn
+        ),
+        x, k,
+    )
+    return vjp(gy.astype(x.dtype))
+
+
+_conv_f32.defvjp(_conv_f32_fwd, _conv_f32_bwd)
 
 
 def patchify_3d(video: jnp.ndarray, pt: int, p1: int, p2: int) -> jnp.ndarray:
@@ -26,6 +61,78 @@ def patchify_3d(video: jnp.ndarray, pt: int, p1: int, p2: int) -> jnp.ndarray:
     # target feature order is (c, pt, p1, p2) per patch
     x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)
     return x.reshape(b, t, h, w, c * pt * p1 * p2)
+
+
+def fused_patch_embed(
+    video: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray,
+    pt: int,
+    p1: int,
+    p2: int,
+    *,
+    eps: float = 1e-5,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Patchify → LayerNorm(patch) → Linear, as ONE strided conv + fixups.
+
+    Semantically identical to ``patchify_3d(v) |> LN(γ,β) |> Dense(W,b)``
+    (the reference's to_patch_emb Sequential, ctvit3d.py:239-247) but
+    restructured for TPU: the naive chain materializes the transposed patch
+    tensor in fp32 (profiled at ~47 ms/dispatch for a (4,1,240,480,480)
+    volume — 62% of non-attention time), while this form never builds it.
+
+    Algebra: for a patch vector x with LN statistics (μ, σ),
+        [(x−μ)/σ ⊙ γ + β] @ W + b = (x @ (γ⊙W) − μ·ΣᵢγᵢWᵢⱼ)/σ + (β@W + b)
+    so the only heavy op is x @ (γ⊙W), computed as a strided conv straight
+    off the video — XLA lowers a kernel==stride conv onto the MXU without an
+    explicit im2col transpose.  The 3D patching is expressed as a 2D conv
+    whose INPUT CHANNELS are the (c, pt) slab — for c==1 the
+    (b,1,T,H,W)→(b·t, pt, H, W) regrouping is a free reshape, and a 2D NCHW
+    conv with O(100) channels is the layout TPU convs are tuned for (a
+    channels-last 3D conv with c==1 lane-pads the video ×128 and OOMs).
+    Patch sums ride along as one extra conv output channel; Σx² comes from a
+    second ones-kernel conv, giving σ via E[x²]−μ² (fp32 accumulation).
+
+    video: (b, c, T, H, W); gamma/beta: (c*pt*p1*p2,) in reference feature
+    order (c, pt, p1, p2); kernel: (c*pt*p1*p2, D); bias: (D,).
+    Returns (b, t, h, w, D) in compute_dtype.
+    """
+    b, c, T, H, W = video.shape
+    t = T // pt
+    D = kernel.shape[1]
+    n = c * pt * p1 * p2
+
+    kf = kernel.astype(jnp.float32) * gamma.astype(jnp.float32)[:, None]
+    csum = jnp.sum(kf, axis=0)  # (D,)
+    dvec = beta.astype(jnp.float32) @ kernel.astype(jnp.float32) + bias
+    # (c, pt, p1, p2, D) → OIHW (D, c*pt, p1, p2)
+    kc = kf.reshape(c * pt, p1, p2, D).transpose(3, 0, 1, 2)
+    ones_k = jnp.ones((1, c * pt, p1, p2), compute_dtype)
+    kc = jnp.concatenate([kc.astype(compute_dtype), ones_k], axis=0)
+
+    # (b, c, t, pt, H, W) → (b·t, c·pt, H, W); free when c == 1
+    x = video.reshape(b, c, t, pt, H, W)
+    if c != 1:
+        x = x.transpose(0, 2, 1, 3, 4, 5)
+    else:
+        x = jnp.moveaxis(x, 1, 2)  # no-op data movement for c == 1
+    x = x.reshape(b * t, c * pt, H, W).astype(compute_dtype)
+
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, kc.shape, ("NCHW", "OIHW", "NHWC")
+    )
+    y = _conv_f32(x, kc, (p1, p2), dn)        # (b·t, h, w, D+1) fp32
+    sq = _conv_f32(x * x, ones_k, (p1, p2), dn)  # (b·t, h, w, 1)
+
+    mu = y[..., D:] / n
+    var = jnp.maximum(sq / n - mu * mu, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    tokens = (y[..., :D] - mu * csum) * inv + dvec
+    h, w = tokens.shape[1], tokens.shape[2]
+    return tokens.reshape(b, t, h, w, D).astype(compute_dtype)
 
 
 def unpatchify_heads(
