@@ -57,9 +57,15 @@ def bench_train():
     config = ExperimentConfig.from_dict(
         {"trainer": {"lr": 1e-5, "max_grad_norm": 0.5}, "arch": arch}
     )
+    import os
+
+    # BENCH_TRAIN_ATTN=pallas_static measures the static-max training fwd
+    # (differentiable: bwd reuses the standard kernels via lse = B + log l)
+    train_attn = os.environ.get(
+        "BENCH_TRAIN_ATTN", "pallas" if on_tpu else "xla"
+    )
     model = build_ctclip(
-        config, bert_config=bert_cfg,
-        attn_impl="pallas" if on_tpu else "xla", remat=True,
+        config, bert_config=bert_cfg, attn_impl=train_attn, remat=True,
     )
     a = config.arch
     rng = np.random.default_rng(0)
@@ -169,7 +175,8 @@ def main():
         attn_impl = "xla"
 
     config = ExperimentConfig.from_dict({"arch": arch})
-    model = build_ctclip(config, bert_config=bert_cfg, attn_impl=attn_impl)
+    model = build_ctclip(config, bert_config=bert_cfg, attn_impl=attn_impl,
+                         ff_impl="pallas" if on_tpu else "xla")
     a = config.arch
 
     rng = np.random.default_rng(0)

@@ -34,7 +34,8 @@ def main():
     bert_cfg = BertConfig()
     batch, text_len = 4, 512
     config = ExperimentConfig.from_dict({"arch": arch})
-    model = build_ctclip(config, bert_config=bert_cfg, attn_impl="pallas_static")
+    model = build_ctclip(config, bert_config=bert_cfg,
+                         attn_impl="pallas_static", ff_impl="pallas")
     a = config.arch
     rng = np.random.default_rng(0)
     video = jnp.asarray(

@@ -6,6 +6,7 @@ import numpy as np
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from vit_exp_tpu.ops.attention import cosine_attention, l2norm
@@ -99,4 +100,28 @@ def test_mask_blocks_attention():
     )
     np.testing.assert_allclose(
         np.asarray(out_masked), np.asarray(out_short), atol=1e-6
+    )
+
+
+def test_fused_geglu_ff_matches_module():
+    """ops/geglu_ff fused kernel == BiasLayerNorm→wi→GEGLU→wo module path,
+    including param-tree compatibility of the two GEGLUFeedForward impls."""
+    import flax.linen as nn
+    from vit_exp_tpu.core.precision import Policy
+    from vit_exp_tpu.models.layers import GEGLUFeedForward
+
+    fp32 = Policy(param_dtype=jnp.float32, compute_dtype=jnp.float32,
+                  reduce_dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 40, 24)).astype(np.float32))
+    ref_mod = GEGLUFeedForward(dim=24, policy=fp32, impl="xla")
+    params = ref_mod.init(jax.random.PRNGKey(0), x)["params"]
+    # perturb params away from init so the test is not trivially zeros
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.01 * np.float32(1.0), params)
+    ref = ref_mod.apply({"params": params}, x)
+    fused_mod = GEGLUFeedForward(dim=24, policy=fp32, impl="pallas")
+    ours = fused_mod.apply({"params": params}, x)
+    np.testing.assert_allclose(
+        np.asarray(ours), np.asarray(ref), atol=3e-5, rtol=1e-5
     )

@@ -181,3 +181,37 @@ def test_static_max_init_nulls_matches_online():
             np.asarray(out_static), np.asarray(out_online), atol=2e-5,
             err_msg=f"n={n}",
         )
+
+
+def test_static_max_grad_parity():
+    """Gradients through the static-max forward == gradients through the
+    online kernel (same backward kernels, lse = bound + log l)."""
+    rng = np.random.default_rng(61)
+    q, k, v = _mk(1, 2, 96, 16, seed=61)
+    nk = jnp.asarray(rng.standard_normal((1, 2, 2, 16)).astype(np.float32))
+    nv = jnp.asarray(rng.standard_normal((1, 2, 2, 16)).astype(np.float32))
+
+    def norm(x):
+        return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+    scale = 1.0 / np.sqrt(16)
+
+    def loss_static(q, k, v, nk, nv):
+        out = flash_attention(
+            norm(q), norm(k), v, null_k=norm(nk), null_v=nv, scale=scale,
+            block_q=32, block_k=32, interpret=True,
+            logit_bound=jnp.float32(scale), null_strategy="init",
+        )
+        return jnp.sum(out ** 2)
+
+    def loss_online(q, k, v, nk, nv):
+        out = flash_attention(
+            norm(q), norm(k), v, null_k=norm(nk), null_v=nv, scale=scale,
+            block_q=32, block_k=32, interpret=True,
+        )
+        return jnp.sum(out ** 2)
+
+    gs = jax.grad(loss_static, argnums=(0, 1, 2, 3, 4))(q, k, v, nk, nv)
+    go = jax.grad(loss_online, argnums=(0, 1, 2, 3, 4))(q, k, v, nk, nv)
+    for a, b in zip(gs, go):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)

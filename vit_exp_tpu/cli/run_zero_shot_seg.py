@@ -42,7 +42,9 @@ def main(argv=None):
     bert_cfg = BertConfig(vocab_size=tokenizer.vocab_size)
     attn_impl = ("pallas_static" if jax.default_backend() == "tpu"
                  else "xla")  # inference-only static-max kernel
-    model = build_ctclip(config, bert_config=bert_cfg, attn_impl=attn_impl)
+    ff_impl = "pallas" if attn_impl == "pallas_static" else "xla"
+    model = build_ctclip(config, bert_config=bert_cfg,
+                         attn_impl=attn_impl, ff_impl=ff_impl)
 
     a = config.arch
     video0 = jnp.zeros((1, a.channels, a.temporal_size, a.image_size,

@@ -27,7 +27,9 @@ import jax.numpy as jnp
 from vit_exp_tpu.core.precision import Policy, DEFAULT_POLICY
 from vit_exp_tpu.models.layers import (
     BiasLayerNorm,
+    DenseParams,
     GEGLUFeedForward,
+    LNParams,
     PDense,
     ScaleLayerNorm,
     _logical_init,
@@ -37,50 +39,7 @@ from vit_exp_tpu.ops.patches import fused_patch_embed
 from vit_exp_tpu.ops.posemb import sincos_pos_embed_3d
 
 
-class _LNParams(nn.Module):
-    """Declares BiasLayerNorm's exact params (gamma/beta) without running the
-    naive LN — the computation happens inside fused_patch_embed.  Name this
-    module `patch_norm_in` and the checkpoint param paths are unchanged."""
-
-    dim: int
-    policy: Policy = DEFAULT_POLICY
-
-    @nn.compact
-    def __call__(self):
-        gamma = self.param(
-            "gamma",
-            _logical_init(nn.initializers.ones_init(), ("embed",)),
-            (self.dim,), self.policy.param_dtype,
-        )
-        beta = self.param(
-            "beta",
-            _logical_init(nn.initializers.zeros_init(), ("embed",)),
-            (self.dim,), self.policy.param_dtype,
-        )
-        return gamma, beta
-
-
-class _DenseParams(nn.Module):
-    """Declares PDense's exact params (kernel/bias) for the fused embed."""
-
-    in_dim: int
-    features: int
-    axes: tuple = (None, "embed")
-    policy: Policy = DEFAULT_POLICY
-
-    @nn.compact
-    def __call__(self):
-        kernel = self.param(
-            "kernel",
-            _logical_init(nn.initializers.lecun_normal(), self.axes),
-            (self.in_dim, self.features), self.policy.param_dtype,
-        )
-        bias = self.param(
-            "bias",
-            _logical_init(nn.initializers.zeros_init(), (self.axes[-1],)),
-            (self.features,), self.policy.param_dtype,
-        )
-        return kernel, bias
+# param-declaration helpers (LNParams/DenseParams) live in models/layers.py
 
 
 class CosineSelfAttention(nn.Module):
@@ -143,8 +102,8 @@ class CosineSelfAttention(nn.Module):
         )
 
         impl = self.attn_impl
-        # "pallas_static": inference-only static-max kernel (logits bounded
-        # by the cosine-sim structure; no VJP — use for eval engines only)
+        # "pallas_static": static-max kernel (logits bounded by the
+        # cosine-sim structure; differentiable — bound cotangent is 0)
         static_max = impl == "pallas_static"
         if static_max:
             impl = "pallas"
@@ -168,6 +127,7 @@ class TransformerBlock(nn.Module):
     dim_head: int
     scale: Optional[float]
     attn_impl: str
+    ff_impl: str = "xla"  # "pallas" = fused GEGLU kernel, inference only
     ff_mult: float = 4.0
     policy: Policy = DEFAULT_POLICY
 
@@ -179,7 +139,8 @@ class TransformerBlock(nn.Module):
             name="attn",
         )(x, mask=mask, attn_bias=attn_bias)
         x = x + GEGLUFeedForward(
-            dim=self.dim, mult=self.ff_mult, policy=self.policy, name="ff"
+            dim=self.dim, mult=self.ff_mult, policy=self.policy, name="ff",
+            impl=self.ff_impl,
         )(x)
         return x
 
@@ -197,6 +158,7 @@ class CTViT3D(nn.Module):
     # None → SDPA 1/sqrt(dim_head) convention (production); 8.0 → naive path
     attn_scale: Optional[float] = None
     attn_impl: str = "xla"
+    ff_impl: str = "xla"
     remat: bool = False
     policy: Policy = DEFAULT_POLICY
 
@@ -222,10 +184,10 @@ class CTViT3D(nn.Module):
         b = video.shape[0]
         n_t, n_h, n_w = self.grid
         patch_dim = self.channels * self.patch_voxel_nums
-        gamma, beta = _LNParams(patch_dim, policy=self.policy,
-                                name="patch_norm_in")()
-        kernel, bias = _DenseParams(patch_dim, self.dim, policy=self.policy,
-                                    name="patch_proj")()
+        gamma, beta = LNParams(patch_dim, policy=self.policy,
+                               name="patch_norm_in")()
+        kernel, bias = DenseParams(patch_dim, self.dim, axes=(None, "embed"),
+                                   policy=self.policy, name="patch_proj")()
         x = fused_patch_embed(
             video, gamma, beta, kernel, bias,
             self.temporal_patch_size, self.patch_size, self.patch_size,
@@ -244,7 +206,7 @@ class CTViT3D(nn.Module):
             x = block(
                 dim=self.dim, heads=self.heads, dim_head=self.dim_head,
                 scale=self.attn_scale, attn_impl=self.attn_impl,
-                policy=self.policy, name=f"block{i}",
+                ff_impl=self.ff_impl, policy=self.policy, name=f"block{i}",
             )(x)
         x = ScaleLayerNorm(policy=self.policy, name="norm_out")(x)
         return x.reshape(b, n_t, n_h, n_w, self.dim)

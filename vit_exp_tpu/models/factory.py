@@ -16,8 +16,8 @@ from vit_exp_tpu.models.ctvit3d import CTViT3D
 
 
 def build_image_encoder(
-    arch: ArchConfig, *, attn_impl: str = "xla", remat: bool = False,
-    policy: Policy = DEFAULT_POLICY,
+    arch: ArchConfig, *, attn_impl: str = "xla", ff_impl: str = "xla",
+    remat: bool = False, policy: Policy = DEFAULT_POLICY,
 ) -> CTViT3D:
     assert arch.arch_name in ("ctvit_3d", "ctvit3d", "ct_vit_3d"), arch.arch_name
     return CTViT3D(
@@ -34,6 +34,7 @@ def build_image_encoder(
         # scale convention is 1/sqrt(dim_head); the naive path used scale=8
         attn_scale=None if arch.use_flash_attention else 8.0,
         attn_impl=attn_impl,
+        ff_impl=ff_impl,
         remat=remat,
         policy=policy,
     )
@@ -44,12 +45,14 @@ def build_ctclip(
     *,
     bert_config: Optional[BertConfig] = None,
     attn_impl: str = "xla",
+    ff_impl: str = "xla",
     remat: bool = False,
     policy: Policy = DEFAULT_POLICY,
     dim_latent: Optional[int] = None,
 ) -> CTCLIP:
     visual = build_image_encoder(
-        config.arch, attn_impl=attn_impl, remat=remat, policy=policy
+        config.arch, attn_impl=attn_impl, ff_impl=ff_impl, remat=remat,
+        policy=policy,
     )
     bert_config = bert_config or BertConfig()
     # reference fixes dims 768/768/768 (run_train.py:143-154); tests shrink

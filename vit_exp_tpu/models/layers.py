@@ -112,14 +112,80 @@ class BiasLayerNorm(nn.Module):
         return y.astype(self.policy.compute_dtype)
 
 
+class LNParams(nn.Module):
+    """Declares BiasLayerNorm's exact params (gamma/beta) without running
+    the naive LN — for fused kernels that apply the affine themselves.
+    Give it the module name the LN would have had and checkpoint param
+    paths are unchanged."""
+
+    dim: int
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self):
+        gamma = self.param(
+            "gamma",
+            _logical_init(nn.initializers.ones_init(), ("embed",)),
+            (self.dim,), self.policy.param_dtype,
+        )
+        beta = self.param(
+            "beta",
+            _logical_init(nn.initializers.zeros_init(), ("embed",)),
+            (self.dim,), self.policy.param_dtype,
+        )
+        return gamma, beta
+
+
+class DenseParams(nn.Module):
+    """Declares PDense's exact params (kernel[, bias]) for fused kernels."""
+
+    in_dim: int
+    features: int
+    axes: Axes = (None, None)
+    use_bias: bool = True
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            _logical_init(nn.initializers.lecun_normal(), self.axes),
+            (self.in_dim, self.features), self.policy.param_dtype,
+        )
+        if not self.use_bias:
+            return kernel
+        bias = self.param(
+            "bias",
+            _logical_init(nn.initializers.zeros_init(), (self.axes[-1],)),
+            (self.features,), self.policy.param_dtype,
+        )
+        return kernel, bias
+
+
 class GEGLUFeedForward(nn.Module):
+    """impl="pallas": fused LN→wi→GEGLU→wo kernel (ops/geglu_ff.py) —
+    inference only (no VJP); param tree identical to the xla path."""
+
     dim: int
     mult: float = 4.0
     policy: Policy = DEFAULT_POLICY
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
         inner = int(self.mult * (2.0 / 3.0) * self.dim)
+        if self.impl == "pallas":
+            from vit_exp_tpu.ops.geglu_ff import fused_geglu_ff
+
+            gamma, beta = LNParams(self.dim, policy=self.policy,
+                                   name="norm")()
+            w1 = DenseParams(self.dim, inner * 2, axes=("embed", "mlp"),
+                             use_bias=False, policy=self.policy, name="wi")()
+            w2 = DenseParams(inner, self.dim, axes=("mlp", "embed"),
+                             use_bias=False, policy=self.policy, name="wo")()
+            return fused_geglu_ff(
+                x.astype(self.policy.compute_dtype), gamma, beta, w1, w2
+            )
         x = BiasLayerNorm(policy=self.policy, name="norm")(x)
         x = PDense(
             inner * 2, axes=("embed", "mlp"), use_bias=False,

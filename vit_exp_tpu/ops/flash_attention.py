@@ -64,7 +64,8 @@ def _pad_axis(x, target, axis, value=0.0):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel_static(*refs, scale, kv_len, block_k, n_null, d_ones):
+def _fwd_kernel_static(*refs, scale, kv_len, block_k, n_null, d_ones,
+                       save_lse=False):
     """Static-max forward: cosine-sim attention bounds |logits| ≤ B
     (unit-norm q/k rows times learned per-dim scales), so the online
     running-max bookkeeping (per-block max reduce, correction exp, acc
@@ -84,7 +85,10 @@ def _fwd_kernel_static(*refs, scale, kv_len, block_k, n_null, d_ones):
     else:
         q_ref, k_ref, v_ref = refs[:3]
         rest = refs[3:]
-    bound_ref, o_ref, acc_ref = rest
+    if save_lse:
+        bound_ref, o_ref, lse_ref, acc_ref = rest
+    else:
+        bound_ref, o_ref, acc_ref = rest
 
     ik = pl.program_id(2)
     n_k = pl.num_programs(2)
@@ -124,8 +128,10 @@ def _fwd_kernel_static(*refs, scale, kv_len, block_k, n_null, d_ones):
     @pl.when(ik == n_k - 1)
     def _finish():
         acc = acc_ref[...]
-        o_ref[0] = (acc[:, :o_ref.shape[-1]] / acc[:, d_ones:d_ones + 1]
-                    ).astype(o_ref.dtype)
+        l = acc[:, d_ones:d_ones + 1]
+        o_ref[0] = (acc[:, :o_ref.shape[-1]] / l).astype(o_ref.dtype)
+        if save_lse:
+            lse_ref[0] = bound + jnp.log(l)
 
 
 def _fwd_kernel(*refs, scale, kv_len, block_k, save_lse, n_null,
@@ -264,9 +270,11 @@ def _flash_fwd(q, k, v, nk, nv, scale, kv_len, block_q, block_k, interpret,
 
 
 def _flash_fwd_static(q, k, v, nk, nv, bound, scale, kv_len, block_q, block_k,
-                      interpret, n_null):
-    """Static-max forward (inference).  bound: traced f32 scalar with
-    logits ≤ bound guaranteed by the caller.  Returns out only.
+                      interpret, n_null, save_lse=False):
+    """Static-max forward.  bound: traced f32 scalar with logits ≤ bound
+    guaranteed by the caller.  Returns (out, lse|None); lse = bound + log l
+    feeds the standard backward kernels, so training can use this forward
+    too.
 
     v (and nv) get a ones column appended at lane index dp so the kernel's
     pv matmul accumulates the softmax normalizer on the MXU (see
@@ -296,15 +304,23 @@ def _flash_fwd_static(q, k, v, nk, nv, bound, scale, kv_len, block_q, block_k,
     in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     inputs.append(jnp.reshape(bound.astype(jnp.float32), (1,)))
 
-    out = pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0))]
+    out_shape = [jax.ShapeDtypeStruct((bh, nq, dp), q.dtype)]
+    if save_lse:
+        out_specs.append(
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0))
+        )
+        out_shape.append(jax.ShapeDtypeStruct((bh, nq, 1), jnp.float32))
+
+    res = pl.pallas_call(
         functools.partial(
             _fwd_kernel_static, scale=scale, kv_len=kv_len, block_k=block_k,
-            n_null=n_null, d_ones=dp,
+            n_null=n_null, d_ones=dp, save_lse=save_lse,
         ),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, nq, dp), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, dp_v), jnp.float32),
         ],
@@ -313,7 +329,9 @@ def _flash_fwd_static(q, k, v, nk, nv, bound, scale, kv_len, block_q, block_k,
         ),
         interpret=interpret,
     )(*inputs)
-    return out
+    if save_lse:
+        return res[0], res[1]
+    return res[0], None
 
 
 # ---------------------------------------------------------------------------
@@ -511,6 +529,37 @@ def _flash_core_bwd(scale, n_real, n_null, block_q, block_k, interpret,
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def _flash_core_static(q, k, v, nk, nv, bound, scale, n_real, n_null,
+                       block_q, block_k, interpret):
+    """Differentiable static-max core: same backward kernels as
+    _flash_core (they only consume lse = bound + log l).  ``bound`` is a
+    traced operand whose cotangent is exactly zero — softmax is invariant
+    to the shift, so ∂out/∂bound ≡ 0."""
+    out, _ = _flash_fwd_static(q, k, v, nk, nv, bound, scale, n_real,
+                               block_q, block_k, interpret, n_null)
+    return out
+
+
+def _flash_core_static_fwd(q, k, v, nk, nv, bound, scale, n_real, n_null,
+                           block_q, block_k, interpret):
+    out, lse = _flash_fwd_static(q, k, v, nk, nv, bound, scale, n_real,
+                                 block_q, block_k, interpret, n_null,
+                                 save_lse=True)
+    return out, (q, k, v, nk, nv, out, lse)
+
+
+def _flash_core_static_bwd(scale, n_real, n_null, block_q, block_k,
+                           interpret, res, g):
+    grads = _flash_core_bwd(scale, n_real, n_null, block_q, block_k,
+                            interpret, False, res, g)
+    return grads + (jnp.zeros((), jnp.float32),)
+
+
+_flash_core_static.defvjp(_flash_core_static_fwd, _flash_core_static_bwd)
+
+
 # ---------------------------------------------------------------------------
 # public wrapper
 # ---------------------------------------------------------------------------
@@ -543,8 +592,11 @@ def flash_attention(
     logit_bound: optional traced f32 scalar with ALL logits (q·k·scale)
     ≤ bound — available in cosine-sim attention where q/k rows are
     unit-norm times learned per-dim scales.  Selects the static-max
-    forward kernel (no running max / correction pass — measurably faster);
-    INFERENCE ONLY (no VJP; gradients raise)."""
+    forward kernel (no running max / correction pass; the softmax
+    normalizer accumulates on the MXU via a ones column in v — 24.5 →
+    17.4 ms/layer at the production shape).  Fully differentiable: the
+    backward reuses the standard dq/dkv kernels via lse = bound + log l,
+    and bound's cotangent is exactly zero (softmax shift invariance)."""
     b, h, nq, d = q.shape
     if scale is None:
         scale = 1.0 / math.sqrt(d)
@@ -591,9 +643,9 @@ def flash_attention(
         nv = jnp.zeros((b * h, NULL_PAD, dp), v.dtype)
 
     if logit_bound is not None:
-        out = _flash_fwd_static(
-            qp, kp, vp, nk, nv, logit_bound, scale, nkv, block_q, block_k,
-            interpret, n_null,
+        out = _flash_core_static(
+            qp, kp, vp, nk, nv, logit_bound, scale, nkv, n_null,
+            block_q, block_k, interpret,
         )
     else:
         out = _flash_core(
