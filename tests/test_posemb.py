@@ -67,3 +67,16 @@ def test_shape_and_dtype():
         seg = emb[0, s * third:(s + 1) * third]
         np.testing.assert_allclose(seg[: third // 2], 0.0, atol=1e-7)
         np.testing.assert_allclose(seg[third // 2:], 1.0, atol=1e-7)
+
+
+def test_traced_posemb_matches_numpy():
+    """The jnp-traced table (no HLO literal) == the float64 numpy table to
+    fp32 sin/cos accuracy, production grid included."""
+    import jax
+    from vit_exp_tpu.ops.posemb import sincos_pos_embed_3d_traced
+
+    for dim, grid in ((48, (4, 3, 2)), (768, (24, 24, 24))):
+        a = sincos_pos_embed_3d(dim, grid)
+        b = np.asarray(jax.jit(
+            lambda d=dim, g=grid: sincos_pos_embed_3d_traced(d, g))())
+        np.testing.assert_allclose(a, b, atol=5e-5)

@@ -75,7 +75,7 @@ def main(argv=None):
     parser.add_argument("--synthetic", type=int, default=0,
                         help="use N synthetic samples per dataset")
     parser.add_argument("--attn_impl", default=None,
-                        choices=["xla", "pallas"])
+                        choices=["xla", "pallas", "pallas_static"])
     args = parser.parse_args(argv)
 
     import jax

@@ -36,7 +36,7 @@ from vit_exp_tpu.models.layers import (
 )
 from vit_exp_tpu.ops.attention import cosine_attention
 from vit_exp_tpu.ops.patches import fused_patch_embed
-from vit_exp_tpu.ops.posemb import sincos_pos_embed_3d
+from vit_exp_tpu.ops.posemb import sincos_pos_embed_3d_traced
 
 
 # param-declaration helpers (LNParams/DenseParams) live in models/layers.py
@@ -196,8 +196,8 @@ class CTViT3D(nn.Module):
         x = BiasLayerNorm(policy=self.policy, name="patch_norm_out")(x)
 
         x = x.reshape(b, n_t * n_h * n_w, self.dim)
-        pos = sincos_pos_embed_3d(self.dim, (n_t, n_h, n_w))
-        x = x + jnp.asarray(pos, self.policy.compute_dtype)[None]
+        pos = sincos_pos_embed_3d_traced(self.dim, (n_t, n_h, n_w))
+        x = x + pos.astype(self.policy.compute_dtype)[None]
 
         block = TransformerBlock
         if self.remat:

@@ -504,26 +504,34 @@ def _flash_core_fwd(q, k, v, nk, nv, scale, n_real, n_null, block_q, block_k,
 def _flash_core_bwd(scale, n_real, n_null, block_q, block_k, interpret,
                     fast_softmax, res, g):
     q, k, v, nk, nv, out, lse = res
-    if n_null:
-        # concat REAL nulls in front; ragged length handled by tail masking
-        kv_len = n_null + n_real
-        kc = jnp.concatenate([nk[:, :n_null], k[:, :n_real]], axis=1)
-        vc = jnp.concatenate([nv[:, :n_null], v[:, :n_real]], axis=1)
-        nkc = -(-kv_len // block_k) * block_k
-        kc = _pad_axis(kc, nkc, axis=1)
-        vc = _pad_axis(vc, nkc, axis=1)
-        dq, dkc, dvc = _flash_bwd_concat(
-            q, kc, vc, out, lse, g, scale, kv_len, block_q, block_k, interpret
-        )
-        dnk = _pad_axis(dkc[:, :n_null], NULL_PAD, axis=1)
-        dnv = _pad_axis(dvc[:, :n_null], NULL_PAD, axis=1)
-        dk = _pad_axis(dkc[:, n_null:kv_len], k.shape[1], axis=1)
-        dv = _pad_axis(dvc[:, n_null:kv_len], v.shape[1], axis=1)
-        return dq, dk, dv, dnk, dnv
     dq, dk, dv = _flash_bwd_concat(
         q, k, v, out, lse, g, scale, n_real, block_q, block_k, interpret
     )
-    return dq, dk, dv, jnp.zeros_like(nk), jnp.zeros_like(nv)
+    if not n_null:
+        return dq, dk, dv, jnp.zeros_like(nk), jnp.zeros_like(nv)
+    # Null-kv gradient terms live OUTSIDE the kernels: they are tiny
+    # (bh, nq, n_null≤8) einsums, and keeping the nulls out of k/v lets the
+    # bwd kernels run the raw sequence length (1152-blocks, no concat, no
+    # pads, no tail mask — same trick as the static forward).
+    nkr = nk[:, :n_null].astype(jnp.float32)
+    nvr = nv[:, :n_null].astype(jnp.float32)
+    qf = q.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    nl = jnp.einsum("bnd,bmd->bnm", qf, nkr) * scale
+    p_n = jnp.exp(nl - lse)                       # (bh, nq, n_null)
+    delta = jnp.sum(gf * out.astype(jnp.float32), axis=-1, keepdims=True)
+    dp_n = jnp.einsum("bnd,bmd->bnm", gf, nvr)
+    ds_n = p_n * (dp_n - delta) * scale
+    dq = dq + jnp.einsum("bnm,bmd->bnd", ds_n, nkr).astype(dq.dtype)
+    dnk = _pad_axis(
+        jnp.einsum("bnm,bnd->bmd", ds_n, qf).astype(nk.dtype),
+        NULL_PAD, axis=1,
+    )
+    dnv = _pad_axis(
+        jnp.einsum("bnm,bnd->bmd", p_n, gf).astype(nv.dtype),
+        NULL_PAD, axis=1,
+    )
+    return dq, dk, dv, dnk, dnv
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)

@@ -75,6 +75,7 @@ def fused_patch_embed(
     *,
     eps: float = 1e-5,
     compute_dtype=jnp.bfloat16,
+    stats_impl: str = "window",
 ) -> jnp.ndarray:
     """Patchify → LayerNorm(patch) → Linear, as ONE strided conv + fixups.
 
@@ -110,8 +111,6 @@ def fused_patch_embed(
     dvec = beta.astype(jnp.float32) @ kernel.astype(jnp.float32) + bias
     # (c, pt, p1, p2, D) → OIHW (D, c*pt, p1, p2)
     kc = kf.reshape(c * pt, p1, p2, D).transpose(3, 0, 1, 2)
-    ones_k = jnp.ones((1, c * pt, p1, p2), compute_dtype)
-    kc = jnp.concatenate([kc.astype(compute_dtype), ones_k], axis=0)
 
     # (b, c, t, pt, H, W) → (b·t, c·pt, H, W); free when c == 1
     x = video.reshape(b, c, t, pt, H, W)
@@ -124,13 +123,34 @@ def fused_patch_embed(
     dn = jax.lax.conv_dimension_numbers(
         x.shape, kc.shape, ("NCHW", "OIHW", "NHWC")
     )
-    y = _conv_f32(x, kc, (p1, p2), dn)        # (b·t, h, w, D+1) fp32
-    sq = _conv_f32(x * x, ones_k, (p1, p2), dn)  # (b·t, h, w, 1)
 
-    mu = y[..., D:] / n
+    if stats_impl == "window":
+        # Σx / Σx² via strided reduce_window straight off x's natural
+        # layout — the conv route forces an extra video-sized layout copy
+        # of BOTH x and x² into the conv's preferred input layout (2×2.6 ms
+        # + a 2.1 ms x² materialization at the production shape)
+        def psum(v):
+            return jax.lax.reduce_window(
+                v.astype(jnp.float32), 0.0, jax.lax.add,
+                (1, c * pt, p1, p2), (1, c * pt, p1, p2), "VALID",
+            )  # (b·t, 1, h, w)
+
+        s = psum(x)
+        sq = psum(x * x)
+        mu = jnp.moveaxis(s, 1, -1) / n       # (b·t, h, w, 1)
+        sq = jnp.moveaxis(sq, 1, -1)
+        y = _conv_f32(x, kc.astype(compute_dtype), (p1, p2), dn)
+    else:  # "conv": stats as extra conv channels
+        ones_k = jnp.ones((1, c * pt, p1, p2), compute_dtype)
+        kca = jnp.concatenate([kc.astype(compute_dtype), ones_k], axis=0)
+        y = _conv_f32(x, kca, (p1, p2), dn)       # (b·t, h, w, D+1) fp32
+        sq = _conv_f32(x * x, ones_k, (p1, p2), dn)  # (b·t, h, w, 1)
+        mu = y[..., D:] / n
+        y = y[..., :D]
+
     var = jnp.maximum(sq / n - mu * mu, 0.0)
     inv = jax.lax.rsqrt(var + eps)
-    tokens = (y[..., :D] - mu * csum) * inv + dvec
+    tokens = (y - mu * csum) * inv + dvec
     h, w = tokens.shape[1], tokens.shape[2]
     return tokens.reshape(b, t, h, w, D).astype(compute_dtype)
 

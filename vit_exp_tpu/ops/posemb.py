@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax.numpy as jnp
+
 
 def _sincos_1d(embed_dim: int, pos: np.ndarray) -> np.ndarray:
     assert embed_dim % 2 == 0
@@ -51,3 +53,37 @@ def sincos_pos_embed_3d(embed_dim: int, grid_size: tuple[int, int, int]) -> np.n
         axis=1,
     )
     return emb.astype(np.float32)
+
+
+def _sincos_1d_jnp(embed_dim: int, pos: jnp.ndarray) -> jnp.ndarray:
+    omega = jnp.arange(embed_dim // 2, dtype=jnp.float32) / (embed_dim / 2.0)
+    omega = 1.0 / 10000 ** omega
+    out = pos.reshape(-1).astype(jnp.float32)[:, None] * omega[None, :]
+    return jnp.concatenate([jnp.sin(out), jnp.cos(out)], axis=1)
+
+
+def sincos_pos_embed_3d_traced(
+    embed_dim: int, grid_size: tuple[int, int, int]
+) -> jnp.ndarray:
+    """Traced twin of sincos_pos_embed_3d (same meshgrid quirk): built from
+    jnp ops so the (tokens, dim) table is COMPUTED inside the program
+    instead of embedded as a 42 MB fp32 HLO literal — the numpy constant
+    inflated every remote-compile upload (and tipped the train-step program
+    over the relay's request-size limit).  fp32 sin/cos instead of the
+    reference generator's float64 intermediates: difference ~1e-7, far
+    below the bf16 activations it is added to (np twin stays for tests)."""
+    n_t, n_h, n_w = grid_size
+    ax_t = jnp.arange(n_t, dtype=jnp.float32)
+    ax_h = jnp.arange(n_h, dtype=jnp.float32)
+    ax_w = jnp.arange(n_w, dtype=jnp.float32)
+    grid = jnp.meshgrid(ax_t, ax_w, ax_h)  # 'xy' quirk, see module docstring
+    grid = jnp.stack(grid, axis=0).reshape(3, 1, n_t, n_w, n_h)
+    part = embed_dim // 3
+    return jnp.concatenate(
+        [
+            _sincos_1d_jnp(part, grid[0]),
+            _sincos_1d_jnp(part, grid[1]),
+            _sincos_1d_jnp(part, grid[2]),
+        ],
+        axis=1,
+    )
