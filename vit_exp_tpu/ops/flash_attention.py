@@ -478,6 +478,113 @@ def _flash_bwd_concat(q, kc, vc, out, lse, g, scale, kv_len, block_q, block_k,
     return dq, dk, dv
 
 
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                      dq_ref, dk_ref, dv_ref, dqa, dka, dva,
+                      *, scale, block_k):
+    """One-pass backward: dq, dk, dv from a single (q-block, kv-block)
+    sweep — 5 MXU passes per block pair instead of the 7 the split
+    dq/dkv kernels pay (each recomputes logits and dp).  dk/dv accumulate
+    in FULL-SEQUENCE fp32 VMEM scratch (seq×dp = 1.8 MB at the production
+    shape), sliced at the current kv-block offset; dq accumulates per
+    q-block and flushes when the inner kv loop wraps."""
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    n_i = pl.num_programs(1)
+    n_j = pl.num_programs(2)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _zero_kv():
+        dka[...] = jnp.zeros_like(dka)
+        dva[...] = jnp.zeros_like(dva)
+
+    @pl.when(j == 0)
+    def _zero_dq():
+        dqa[...] = jnp.zeros_like(dqa)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(logits - lse_ref[0])
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (dp - delta_ref[0]) * scale).astype(q.dtype)
+    dqa[...] += jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    sl = pl.ds(j * block_k, block_k)
+    pb = p.astype(do_ref.dtype)
+    # contract the q dim: ds^T @ q and p^T @ do without explicit transposes
+    dka[sl, :] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dva[sl, :] += jax.lax.dot_general(
+        pb, do_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == n_j - 1)
+    def _flush_dq():
+        dq_ref[0] = dqa[...].astype(dq_ref.dtype)
+
+    @pl.when(jnp.logical_and(i == n_i - 1, j == n_j - 1))
+    def _flush_dkv():
+        dk_ref[0] = dka[...].astype(dk_ref.dtype)
+        dv_ref[0] = dva[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd_fused(q, k, v, out, lse, g, scale, block_q, block_k,
+                     interpret):
+    """Single-kernel backward; requires nq % block_q == 0 and
+    nkv % block_k == 0 (production 13 824 with 1152 blocks).  Returns
+    (dq, dk, dv)."""
+    bh, nq, dp = q.shape
+    nkv = k.shape[1]
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
+        keepdims=True,
+    )
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, scale=scale, block_k=block_k),
+        grid=(bh, nq // block_q, nkv // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, nkv, dp), lambda b, i, j: (b, 0, 0)),
+            pl.BlockSpec((1, nkv, dp), lambda b, i, j: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nq, dp), q.dtype),
+            jax.ShapeDtypeStruct((bh, nkv, dp), k.dtype),
+            jax.ShapeDtypeStruct((bh, nkv, dp), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, dp), jnp.float32),
+            pltpu.VMEM((nkv, dp), jnp.float32),
+            pltpu.VMEM((nkv, dp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            # 3 fp32 (block_q, block_k) temporaries + the full-seq dk/dv
+            # scratch exceed the 16 MB default scoped-vmem cap at 1152
+            # blocks; the chip has far more physical VMEM
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q, k, v, g, lse, delta)
+    return dq, dk, dv
+
+
 # ---------------------------------------------------------------------------
 # custom VJP core
 # ---------------------------------------------------------------------------
@@ -504,9 +611,17 @@ def _flash_core_fwd(q, k, v, nk, nv, scale, n_real, n_null, block_q, block_k,
 def _flash_core_bwd(scale, n_real, n_null, block_q, block_k, interpret,
                     fast_softmax, res, g):
     q, k, v, nk, nv, out, lse = res
-    dq, dk, dv = _flash_bwd_concat(
-        q, k, v, out, lse, g, scale, n_real, block_q, block_k, interpret
-    )
+    if (k.shape[1] == n_real and n_real % block_k == 0
+            and q.shape[1] % block_q == 0):
+        # exact tiling (production: 13 824 tokens, 1152 blocks, nulls kept
+        # outside) → one-pass fused backward, 5 MXU passes per block pair
+        dq, dk, dv = _flash_bwd_fused(
+            q, k, v, out, lse, g, scale, block_q, block_k, interpret
+        )
+    else:
+        dq, dk, dv = _flash_bwd_concat(
+            q, k, v, out, lse, g, scale, n_real, block_q, block_k, interpret
+        )
     if not n_null:
         return dq, dk, dv, jnp.zeros_like(nk), jnp.zeros_like(nv)
     # Null-kv gradient terms live OUTSIDE the kernels: they are tiny
