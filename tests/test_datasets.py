@@ -119,3 +119,65 @@ def test_ct_seg_datasets(tmp_path):
     assert item["image"].shape == (1, 240, 480, 480)
     assert item["seg_mask"].shape == (2, 240, 480, 480)
     assert item["data_type"] == "imageopenseg"
+
+
+def test_packed_shards_roundtrip(tmp_path):
+    """Write/read packed shards; shard roll, alignment, meta, dtypes."""
+    from vit_exp_tpu.data.packed import PackedShardWriter, PackedVolumeStore
+
+    rng = np.random.default_rng(0)
+    arrays = {
+        f"vol{i}.nii.gz": rng.standard_normal((1, 4, 6, 6)).astype(
+            np.float16 if i % 2 else np.float32)
+        for i in range(5)
+    }
+    with PackedShardWriter(str(tmp_path / "packed"), shard_bytes=300) as w:
+        for k, a in arrays.items():
+            w.append(k, a, meta={"text": f"report {k}"})
+    store = PackedVolumeStore(str(tmp_path / "packed"))
+    assert len(store) == 5
+    # multiple shards actually produced (300-byte cap vs ~300-600 B records)
+    import glob as _g
+    assert len(_g.glob(str(tmp_path / "packed" / "shard_*.bin"))) >= 2
+    for k, a in arrays.items():
+        got = store[k]
+        assert got.dtype == a.dtype
+        np.testing.assert_array_equal(np.asarray(got), a)
+        assert store.meta(k)["text"] == f"report {k}"
+
+
+def test_packed_report_dataset_matches_npz_dataset(tmp_path):
+    """CTReportPackedDataset items == CTReportDataset items after packing
+    via the CLI path (meta text, strip chars, tokenization)."""
+    from vit_exp_tpu.data.packed import (
+        CTReportPackedDataset, PackedShardWriter,
+    )
+    from vit_exp_tpu.data.tokenizer import HashTokenizer
+
+    rng = np.random.default_rng(1)
+    root = tmp_path / "npz"
+    root.mkdir()
+    rows = []
+    for i in range(3):
+        vol = rng.standard_normal((240 // 10, 48, 48)).astype(np.float32)
+        np.savez_compressed(root / f"case{i}.npz", arr_0=vol)
+        rows.append({"VolumeName": f"case{i}.nii.gz",
+                     "Findings_EN": f"finding (quoted) {i}",
+                     "Impressions_EN": f" impression {i}"})
+    pd.DataFrame(rows).to_csv(tmp_path / "reports.csv", index=False)
+
+    tok = HashTokenizer(vocab_size=97)
+    ds = CTReportDataset(str(root), str(tmp_path / "reports.csv"),
+                         tokenizer=tok, keep_percent=100)
+    with PackedShardWriter(str(tmp_path / "packed")) as w:
+        for path, text in ds.samples:
+            key = os.path.basename(path).replace(".npz", ".nii.gz")
+            vol = ds[ds.samples.index((path, text))]["image"]
+            w.append(key, vol.astype(np.float16), meta={"text": text})
+    pds = CTReportPackedDataset(str(tmp_path / "packed"), tokenizer=tok)
+    assert len(pds) == len(ds)
+    for i in range(len(ds)):
+        a, b = ds[i], pds[i]
+        assert a["text"] == b["text"]
+        np.testing.assert_allclose(a["image"], b["image"], atol=2e-3)
+        np.testing.assert_array_equal(a["input_ids"], b["input_ids"])

@@ -1,0 +1,176 @@
+"""Packed binary shards — production volume storage at TPU ingest speed.
+
+SURVEY.md §7 hard-part #7: the reference's npz-per-sample scheme
+(scripts/data.py:49-111 — one compressed file open + inflate per volume)
+starves a v5e-8; sustained training needs large sequential reads.  This
+module stores preprocessed volumes as RAW arrays concatenated into ~1 GB
+shards with a JSON index: a read is one `np.memmap` slice (zero copy until
+the pages are touched, no decompression), and shards lay out samples in
+write order so a shuffled-within-shard access pattern still hits large
+sequential extents.
+
+Format (directory):
+    index.json                 {"version": 1, "records": [
+                                  {"key", "shard", "offset", "shape",
+                                   "dtype", "meta"}, ...]}
+    shard_00000.bin ...        raw little-endian array bytes, 64-byte
+                               aligned records
+
+Writer → `PackedShardWriter`; reader → `PackedVolumeStore`;
+`CTReportPackedDataset` is the drop-in CTReportDataset twin over a store.
+Conversion CLI: vit_exp_tpu/cli/pack_dataset.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+ALIGN = 64
+
+
+class PackedShardWriter:
+    """Append arrays; rolls to a new shard past `shard_bytes`."""
+
+    def __init__(self, out_dir: str, shard_bytes: int = 1 << 30):
+        self.out_dir = out_dir
+        self.shard_bytes = shard_bytes
+        os.makedirs(out_dir, exist_ok=True)
+        self.records: List[Dict] = []
+        self._shard_idx = -1
+        self._fh = None
+        self._offset = 0
+
+    def _roll(self):
+        if self._fh is not None:
+            self._fh.close()
+        self._shard_idx += 1
+        path = os.path.join(self.out_dir, f"shard_{self._shard_idx:05d}.bin")
+        self._fh = open(path, "wb")
+        self._offset = 0
+
+    def append(self, key: str, array: np.ndarray, meta: Optional[Dict] = None):
+        array = np.ascontiguousarray(array)
+        if self._fh is None or (
+            self._offset > 0 and self._offset + array.nbytes > self.shard_bytes
+        ):
+            self._roll()
+        pad = (-self._offset) % ALIGN
+        if pad:
+            self._fh.write(b"\0" * pad)
+            self._offset += pad
+        self.records.append({
+            "key": key,
+            "shard": self._shard_idx,
+            "offset": self._offset,
+            "shape": list(array.shape),
+            "dtype": array.dtype.name,
+            "meta": meta or {},
+        })
+        self._fh.write(array.tobytes())
+        self._offset += array.nbytes
+
+    def close(self):
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+        with open(os.path.join(self.out_dir, "index.json"), "w") as f:
+            json.dump({"version": 1, "records": self.records}, f)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+class PackedVolumeStore:
+    """Random access over packed shards via lazily-opened memmaps."""
+
+    def __init__(self, root: str):
+        self.root = root
+        with open(os.path.join(root, "index.json")) as f:
+            index = json.load(f)
+        assert index.get("version") == 1, "unknown packed-shard version"
+        self.records = index["records"]
+        self.by_key = {r["key"]: r for r in self.records}
+        self._maps: Dict[int, np.memmap] = {}
+
+    def keys(self) -> List[str]:
+        return [r["key"] for r in self.records]
+
+    def _mmap(self, shard: int) -> np.memmap:
+        m = self._maps.get(shard)
+        if m is None:
+            path = os.path.join(self.root, f"shard_{shard:05d}.bin")
+            m = np.memmap(path, dtype=np.uint8, mode="r")
+            self._maps[shard] = m
+        return m
+
+    def meta(self, key: str) -> Dict:
+        return self.by_key[key]["meta"]
+
+    def get(self, key: str) -> np.ndarray:
+        r = self.by_key[key]
+        dtype = np.dtype(r["dtype"])
+        nbytes = int(np.prod(r["shape"])) * dtype.itemsize
+        raw = self._mmap(r["shard"])[r["offset"]: r["offset"] + nbytes]
+        return raw.view(dtype).reshape(r["shape"])
+
+    __getitem__ = get
+
+    def __len__(self):
+        return len(self.records)
+
+
+class CTReportPackedDataset:
+    """CTReportDataset twin over packed shards: same item dict, but the
+    volume read is one memmap slice instead of an npz inflate.  Reports
+    come from the record meta (written at pack time) or a CSV join."""
+
+    def __init__(
+        self,
+        root: str,
+        csv_file: Optional[str] = None,
+        *,
+        tokenizer=None,
+        keep_percent: int = 100,
+        max_text_len: int = 512,
+    ):
+        from vit_exp_tpu.data.datasets import CTReportDataset, _STRIP_CHARS
+
+        self.store = PackedVolumeStore(root)
+        self.tokenizer = tokenizer
+        self.max_text_len = max_text_len
+        self._strip = _STRIP_CHARS
+        acc_to_text = (
+            CTReportDataset._load_reports(csv_file) if csv_file else {}
+        )
+        self.samples: List[Tuple[str, str]] = []
+        for r in self.store.records:
+            text = r["meta"].get("text")
+            if text is None:
+                text = acc_to_text.get(r["key"])
+            if text is not None:
+                self.samples.append((r["key"], text))
+        self.samples = self.samples[: len(self.samples) * keep_percent // 100]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, index: int) -> Dict:
+        key, text = self.samples[index]
+        volume = np.asarray(self.store.get(key), dtype=np.float32)
+        if volume.ndim == 3:
+            volume = volume[None]
+        text = text.translate(self._strip)
+        item = {"image": volume, "text": text, "data_type": "imagereport"}
+        if self.tokenizer is not None:
+            toks = self.tokenizer([text], max_length=self.max_text_len)
+            item["input_ids"] = toks["input_ids"][0]
+            item["attention_mask"] = toks["attention_mask"][0]
+        return item
