@@ -181,3 +181,33 @@ def test_packed_report_dataset_matches_npz_dataset(tmp_path):
         assert a["text"] == b["text"]
         np.testing.assert_allclose(a["image"], b["image"], atol=2e-3)
         np.testing.assert_array_equal(a["input_ids"], b["input_ids"])
+
+
+def test_packed_dataset_through_loader_and_cli_spec(tmp_path):
+    """packed spec in train_data_list builds CTReportPackedDataset, and the
+    threaded Loader batches it like the npz dataset."""
+    from vit_exp_tpu.cli.run_train import build_datasets
+    from vit_exp_tpu.core.config import ExperimentConfig
+    from vit_exp_tpu.data.loader import Loader
+    from vit_exp_tpu.data.packed import PackedShardWriter
+    from vit_exp_tpu.data.tokenizer import HashTokenizer
+
+    rng = np.random.default_rng(2)
+    with PackedShardWriter(str(tmp_path / "packed")) as w:
+        for i in range(4):
+            w.append(f"v{i}.nii.gz",
+                     rng.standard_normal((1, 4, 8, 8)).astype(np.float16),
+                     meta={"text": f"report {i}"})
+    config = ExperimentConfig.from_dict({
+        "train_data_list": [
+            {"type": "imagereport", "packed": True,
+             "data_folder": str(tmp_path / "packed")},
+        ],
+    })
+    tok = HashTokenizer(vocab_size=97)
+    (ds,) = build_datasets(config, tok)
+    assert len(ds) == 4
+    loader = Loader(ds, batch_size=2, shuffle=False, seed=0)
+    batch = next(iter(loader))
+    assert batch["image"].shape == (2, 1, 4, 8, 8)
+    assert batch["input_ids"].shape[0] == 2

@@ -44,6 +44,19 @@ def build_datasets(config, tokenizer, synthetic: int = 0):
     for spec in config.train_data_list:
         dtype = spec.get("type", "imagereport")
         if dtype == "imagereport":
+            if spec.get("packed"):
+                # memmap shards written by cli/pack_dataset.py — no
+                # per-sample npz inflate (data/packed.py)
+                from vit_exp_tpu.data.packed import CTReportPackedDataset
+
+                datasets.append(
+                    CTReportPackedDataset(
+                        spec["data_folder"],
+                        spec.get("reports_csv"),
+                        tokenizer=tokenizer,
+                    )
+                )
+                continue
             datasets.append(
                 CTReportDataset(
                     spec["data_folder"], spec["reports_csv"],
