@@ -66,8 +66,12 @@ def bench_train():
         "BENCH_TRAIN_ATTN", "pallas_static" if on_tpu else "xla"
     )
     remat = os.environ.get("BENCH_TRAIN_REMAT", "1") == "1"
+    train_ff = os.environ.get(
+        "BENCH_TRAIN_FF", "pallas" if on_tpu else "xla"
+    )
     model = build_ctclip(
-        config, bert_config=bert_cfg, attn_impl=train_attn, remat=remat,
+        config, bert_config=bert_cfg, attn_impl=train_attn,
+        ff_impl=train_ff, remat=remat,
     )
     a = config.arch
     rng = np.random.default_rng(0)

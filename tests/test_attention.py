@@ -125,3 +125,72 @@ def test_fused_geglu_ff_matches_module():
     np.testing.assert_allclose(
         np.asarray(ours), np.asarray(ref), atol=3e-5, rtol=1e-5
     )
+
+
+def test_fused_geglu_ff_grads_match_xla():
+    """The fused Pallas backward (dx, dγ, dβ, dw1, dw2) == jax.grad of the
+    XLA module path, including a token count that is not a block multiple
+    (pad rows must not leak into the weight grads)."""
+    from vit_exp_tpu.ops.geglu_ff import fused_geglu_ff
+
+    rng = np.random.default_rng(11)
+    D, inner = 24, 32
+    x = jnp.asarray(rng.standard_normal((2, 37, D)).astype(np.float32))
+    gamma = jnp.asarray(1.0 + 0.1 * rng.standard_normal(D).astype(np.float32))
+    beta = jnp.asarray(0.1 * rng.standard_normal(D).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((D, 2 * inner)).astype(np.float32)
+                     / np.sqrt(D))
+    w2 = jnp.asarray(rng.standard_normal((inner, D)).astype(np.float32)
+                     / np.sqrt(inner))
+    cot = jnp.asarray(rng.standard_normal(x.shape).astype(np.float32))
+
+    def ref(x, gamma, beta, w1, w2):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+        xn = (x - mu) * jax.lax.rsqrt(var + 1e-5)
+        y = xn * gamma + beta
+        h = y @ w1
+        val, gate = jnp.split(h, 2, axis=-1)
+        act = jax.nn.gelu(gate, approximate=False) * val
+        return jnp.vdot(act @ w2, cot)
+
+    def ours(x, gamma, beta, w1, w2):
+        return jnp.vdot(
+            fused_geglu_ff(x, gamma, beta, w1, w2, block_m=16), cot)
+
+    ref_grads = jax.grad(ref, argnums=(0, 1, 2, 3, 4))(x, gamma, beta, w1, w2)
+    our_grads = jax.grad(ours, argnums=(0, 1, 2, 3, 4))(x, gamma, beta, w1, w2)
+    for r, o, name in zip(ref_grads, our_grads,
+                          ("dx", "dgamma", "dbeta", "dw1", "dw2")):
+        np.testing.assert_allclose(
+            np.asarray(o), np.asarray(r), atol=2e-4, rtol=2e-4,
+            err_msg=name,
+        )
+
+
+def test_fused_geglu_ff_module_grads():
+    """Module-level grads through GEGLUFeedForward(impl="pallas") == the
+    xla impl, exercising the param-cast paths used by the real towers."""
+    from vit_exp_tpu.core.precision import Policy
+    from vit_exp_tpu.models.layers import GEGLUFeedForward
+
+    fp32 = Policy(param_dtype=jnp.float32, compute_dtype=jnp.float32,
+                  reduce_dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 19, 24)).astype(np.float32))
+    ref_mod = GEGLUFeedForward(dim=24, policy=fp32, impl="xla")
+    params = ref_mod.init(jax.random.PRNGKey(0), x)["params"]
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.01 * np.float32(1.0), params)
+    fused_mod = GEGLUFeedForward(dim=24, policy=fp32, impl="pallas")
+
+    def loss(mod, p):
+        return jnp.sum(jnp.square(mod.apply({"params": p}, x)))
+
+    g_ref = jax.grad(lambda p: loss(ref_mod, p))(params)
+    g_ours = jax.grad(lambda p: loss(fused_mod, p))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4),
+        g_ref, g_ours,
+    )

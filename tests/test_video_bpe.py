@@ -146,3 +146,59 @@ def test_plots_and_sweep(tmp_path):
     )
     assert set(res) == {"c1", "c3"}
     assert os.path.exists(tmp_path / "sweep" / "sweep_shard0.json")
+
+
+def test_superres_dataset(tmp_path):
+    import pandas as pd
+
+    from vit_exp_tpu.data.video import (VideoTextSuperresDataset,
+                                        cast_num_frames_mod1, write_nifti)
+
+    acc_dir = tmp_path / "p1" / "ACC9"
+    acc_dir.mkdir(parents=True)
+    from tests.test_data_tools import _write_nifti
+
+    nii = str(acc_dir / "scan.nii.gz")
+    _write_nifti(nii, np.random.default_rng(0).integers(
+        -500, 500, (6, 6, 9)).astype(np.int16))
+    with open(str(acc_dir / "scan_metadata.json"), "w") as f:
+        json.dump({"RescaleSlope": 1, "RescaleIntercept": 0,
+                   "PatientAge": "041Y", "PatientSex": "M"}, f)
+    # paired low-res CTViT output at {root}/samples.{acc}/{name}
+    lr_dir = tmp_path / "lowres" / "samples.ACC9"
+    lr_dir.mkdir(parents=True)
+    write_nifti(str(lr_dir / "scan.nii.gz"),
+                np.random.default_rng(1).uniform(-1, 1, (4, 4, 5)).astype(
+                    np.float32))
+    pd.DataFrame({"AccessionNo": ["ACC9"],
+                  "Impressions": ["Normal."]}).to_csv(
+        tmp_path / "reports.csv", index=False)
+
+    ds = VideoTextSuperresDataset(
+        str(tmp_path), str(tmp_path / "reports.csv"),
+        str(tmp_path / "lowres"), target=(7, 8, 8), num_frames=2,
+    )
+    assert len(ds) == 1
+    item = ds[0]
+    assert item["image"].shape == (1, 7, 8, 8)      # 7 ≡ 1 (mod 2)
+    assert item["lowres"].shape == (1, 5, 4, 4)     # (S,W,H), 5 ≡ 1 (mod 2)
+    assert item["text"].startswith("41 years old male:")
+    assert float(item["image"].min()) >= 0.0        # [-1,1] → [0,1]
+    assert float(item["lowres"].min()) >= 0.0
+
+    # the mod-1 frame cast semantics (videotextdatasetsuperres.py:15-22)
+    v = np.zeros((1, 8, 2, 2), np.float32)
+    assert cast_num_frames_mod1(v, 2).shape[1] == 7   # 8%2==0 → drop 1
+    assert cast_num_frames_mod1(v[:, :7], 2).shape[1] == 7  # ≡1 → keep
+    assert cast_num_frames_mod1(np.zeros((1, 9, 2, 2), np.float32),
+                                4).shape[1] == 9      # 9%4==1 → keep
+
+    # sample_list variant (validation dataset, sampled_val.txt)
+    lst = tmp_path / "val.txt"
+    lst.write_text(nii + "\n")
+    ds2 = VideoTextSuperresDataset(
+        str(tmp_path), str(tmp_path / "reports.csv"),
+        str(tmp_path / "lowres"), target=(7, 8, 8),
+        sample_list=str(lst),
+    )
+    assert len(ds2) == 1

@@ -89,6 +89,8 @@ def main(argv=None):
                         help="use N synthetic samples per dataset")
     parser.add_argument("--attn_impl", default=None,
                         choices=["xla", "pallas", "pallas_static"])
+    parser.add_argument("--ff_impl", default=None,
+                        choices=["xla", "pallas"])
     args = parser.parse_args(argv)
 
     import jax
@@ -117,8 +119,12 @@ def main(argv=None):
     attn_impl = args.attn_impl or (
         "pallas" if jax.default_backend() == "tpu" else "xla"
     )
+    ff_impl = args.ff_impl or (
+        "pallas" if jax.default_backend() == "tpu" else "xla"
+    )
     model = build_ctclip(
-        config, bert_config=bert_cfg, attn_impl=attn_impl, remat=True
+        config, bert_config=bert_cfg, attn_impl=attn_impl, ff_impl=ff_impl,
+        remat=True,
     )
 
     datasets = build_datasets(config, tokenizer, synthetic=args.synthetic)

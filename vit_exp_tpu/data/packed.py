@@ -89,7 +89,14 @@ class PackedShardWriter:
 
 
 class PackedVolumeStore:
-    """Random access over packed shards via lazily-opened memmaps."""
+    """Random access over packed shards.
+
+    Two read paths:
+    - `get` — one `np.memmap` slice (zero-copy view);
+    - `get_f32` / `get_batch` — the native C++ reader (vit_exp_tpu.native):
+      positional preads + fused dtype→fp32 conversion on a thread pool
+      with the GIL released; falls back to numpy when g++ is absent.
+    """
 
     def __init__(self, root: str):
         self.root = root
@@ -99,17 +106,33 @@ class PackedVolumeStore:
         self.records = index["records"]
         self.by_key = {r["key"]: r for r in self.records}
         self._maps: Dict[int, np.memmap] = {}
+        self._fds: Dict[int, int] = {}
 
     def keys(self) -> List[str]:
         return [r["key"] for r in self.records]
 
+    def _shard_path(self, shard: int) -> str:
+        return os.path.join(self.root, f"shard_{shard:05d}.bin")
+
     def _mmap(self, shard: int) -> np.memmap:
         m = self._maps.get(shard)
         if m is None:
-            path = os.path.join(self.root, f"shard_{shard:05d}.bin")
-            m = np.memmap(path, dtype=np.uint8, mode="r")
+            m = np.memmap(self._shard_path(shard), dtype=np.uint8, mode="r")
             self._maps[shard] = m
         return m
+
+    def _fd(self, shard: int) -> int:
+        fd = self._fds.get(shard)
+        if fd is None:
+            fd = os.open(self._shard_path(shard), os.O_RDONLY)
+            self._fds[shard] = fd
+        return fd
+
+    def close(self):
+        for fd in self._fds.values():
+            os.close(fd)
+        self._fds.clear()
+        self._maps.clear()
 
     def meta(self, key: str) -> Dict:
         return self.by_key[key]["meta"]
@@ -122,6 +145,38 @@ class PackedVolumeStore:
         return raw.view(dtype).reshape(r["shape"])
 
     __getitem__ = get
+
+    def get_f32(self, key: str, *, scale: float = 1.0, shift: float = 0.0,
+                threads: Optional[int] = None) -> np.ndarray:
+        """One record as a fresh float32 array via the native reader."""
+        return self.get_batch([key], scale=scale, shift=shift,
+                              threads=threads)[0]
+
+    def get_batch(self, keys: List[str], *, scale: float = 1.0,
+                  shift: float = 0.0, threads: Optional[int] = None,
+                  out: Optional[np.ndarray] = None) -> np.ndarray:
+        """Uniform-shape batch → one contiguous (B, *shape) float32 array,
+        filled by parallel pread + fused conversion."""
+        from vit_exp_tpu import native
+
+        recs = [self.by_key[k] for k in keys]
+        shape = tuple(recs[0]["shape"])
+        dtype = np.dtype(recs[0]["dtype"])
+        for r in recs:
+            if tuple(r["shape"]) != shape or np.dtype(r["dtype"]) != dtype:
+                raise ValueError("get_batch requires uniform records")
+        n_elem = int(np.prod(shape))
+        if out is None:
+            out = np.empty((len(recs),) + shape, dtype=np.float32)
+        native.read_convert_f32(
+            [self._fd(r["shard"]) for r in recs],
+            [r["offset"] for r in recs],
+            [n_elem * dtype.itemsize] * len(recs),
+            dtype,
+            [i * n_elem for i in range(len(recs))],
+            out, scale=scale, shift=shift, threads=threads,
+        )
+        return out
 
     def __len__(self):
         return len(self.records)
@@ -164,7 +219,7 @@ class CTReportPackedDataset:
 
     def __getitem__(self, index: int) -> Dict:
         key, text = self.samples[index]
-        volume = np.asarray(self.store.get(key), dtype=np.float32)
+        volume = self.store.get_f32(key)
         if volume.ndim == 3:
             volume = volume[None]
         text = text.translate(self._strip)

@@ -182,6 +182,106 @@ class VideoDataset:
         return {"image": video, "data_type": "video"}
 
 
+def cast_num_frames_mod1(video: np.ndarray, frames: int) -> np.ndarray:
+    """Crop the frame axis to f ≡ 1 (mod frames) — CTViT's layout of one
+    special first frame + temporal patches of `frames`
+    (videotextdatasetsuperres.py:15-22 semantics)."""
+    f = video.shape[1]
+    r = f % frames
+    if r == 1:
+        return video
+    drop = (frames - 1) if r == 0 else (r - 1)
+    return video[:, : f - drop] if drop else video
+
+
+def default_lowres_path(nii_path: str, lowres_root: str) -> str:
+    """The reference pairs each high-res volume with a previously generated
+    CTViT reconstruction at {root}/samples.{accession}/{basename}.nii.gz
+    (videotextdatasetsuperres.py:63-68)."""
+    name = os.path.basename(nii_path)
+    acc = os.path.basename(os.path.dirname(nii_path))
+    return os.path.join(lowres_root, f"samples.{acc}", name)
+
+
+class VideoTextSuperresDataset:
+    """(lowres, highres, text) triplets for super-resolution training
+    (videotextdatasetsuperres.py / videotextdatasettransformersuperres.py /
+    videotextdatasetvalidation.py unified):
+
+    - highres: HU volume → [0, 1], trilinear to `target` (default
+      (201, 512, 512) per the reference's F.interpolate at :134);
+    - lowres: a prior CTViT output volume in [-1, 1] → [0, 1], axes
+      permuted (S, W, H) → (D, H, W) (get_lowres_image, :139-146);
+    - text: "{age} years old {sex}: {impression}";
+    - `sample_list` (txt of volume paths) replaces the tree walk — the
+      validation variant's sampled_val.txt (:53-60);
+    - frame axes cast to ≡ 1 (mod num_frames) for CTViT temporal patching.
+    """
+
+    def __init__(
+        self,
+        data_folder: str,
+        report_table: str,
+        lowres_root: str,
+        *,
+        target=(201, 512, 512),
+        num_frames: int = 2,
+        sample_list: Optional[str] = None,
+        min_slices: int = 100,
+        max_slices: int = 600,
+    ):
+        import pandas as pd
+
+        if report_table.endswith(".csv"):
+            df = pd.read_csv(report_table)
+        else:
+            df = pd.read_excel(report_table)
+        acc_to_text = dict(zip(df["AccessionNo"], df["Impressions"]))
+
+        self.target = target
+        self.num_frames = num_frames
+        self.samples: List[Tuple[str, str, str]] = []
+
+        if sample_list is not None:
+            with open(sample_list) as f:
+                candidates = [ln.strip() for ln in f if ln.strip()]
+        else:
+            candidates = sorted(
+                glob.glob(os.path.join(data_folder, "*", "*", "*.nii.gz"))
+            )
+        for nii in candidates:
+            acc = os.path.basename(os.path.dirname(nii))
+            if acc not in acc_to_text:
+                continue
+            lowres = default_lowres_path(nii, lowres_root)
+            if not os.path.exists(lowres):
+                continue
+            meta_path = nii.replace(".nii.gz", "") + "_metadata.json"
+            metadata = {}
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    metadata = json.load(f)
+            text = f"{_age_sex_prefix(metadata)}: {acc_to_text[acc]}"
+            self.samples.append((nii, lowres, text))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, index: int) -> Dict:
+        nii, lowres_path, text = self.samples[index]
+        hi = load_hu_volume(nii, target=self.target)  # (1, D, H, W) [-1, 1]
+        hi = (hi + 1.0) / 2.0
+        lo = read_nifti(lowres_path).astype(np.float32)  # (H, W, S) [-1, 1]
+        lo = np.transpose(lo, (2, 1, 0))[None]  # (1, S, W, H) per reference
+        lo = (lo + 1.0) / 2.0
+        return {
+            "lowres": cast_num_frames_mod1(lo, self.num_frames),
+            "image": cast_num_frames_mod1(hi, self.num_frames),
+            "text": text.translate(_STRIP),
+            "data_type": "videosuperres",
+        }
+
+
 def video_to_gif(video_dhw: np.ndarray, path: str, fps: int = 10):
     """(D, H, W) in [-1, 1] or [0, 1] → animated gif (data.py:129-180)."""
     from PIL import Image

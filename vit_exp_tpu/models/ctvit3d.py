@@ -127,7 +127,7 @@ class TransformerBlock(nn.Module):
     dim_head: int
     scale: Optional[float]
     attn_impl: str
-    ff_impl: str = "xla"  # "pallas" = fused GEGLU kernel, inference only
+    ff_impl: str = "xla"  # "pallas" = fused GEGLU kernel (fwd + fused bwd)
     ff_mult: float = 4.0
     policy: Policy = DEFAULT_POLICY
 

@@ -163,8 +163,9 @@ class DenseParams(nn.Module):
 
 
 class GEGLUFeedForward(nn.Module):
-    """impl="pallas": fused LN→wi→GEGLU→wo kernel (ops/geglu_ff.py) —
-    inference only (no VJP); param tree identical to the xla path."""
+    """impl="pallas": fused LN→wi→GEGLU→wo kernel (ops/geglu_ff.py) with a
+    fused Pallas backward (training-capable); param tree identical to the
+    xla path."""
 
     dim: int
     mult: float = 4.0
