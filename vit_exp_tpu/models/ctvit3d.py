@@ -35,6 +35,7 @@ from vit_exp_tpu.models.layers import (
     _logical_init,
 )
 from vit_exp_tpu.ops.attention import cosine_attention
+from vit_exp_tpu.ops.flash_attention import FLASH_REMAT_POLICY
 from vit_exp_tpu.ops.patches import fused_patch_embed
 from vit_exp_tpu.ops.posemb import sincos_pos_embed_3d_traced
 
@@ -201,7 +202,13 @@ class CTViT3D(nn.Module):
 
         block = TransformerBlock
         if self.remat:
-            block = nn.remat(TransformerBlock, prevent_cse=False)
+            # save the flash-attention out+lse across the remat boundary:
+            # the backward replay then skips the forward attention kernel
+            # (17.3 ms/layer at production shape) and rebuilds only the
+            # cheap projections; with xla attention the names never match
+            # and this degrades to plain full remat
+            block = nn.remat(TransformerBlock, prevent_cse=False,
+                             policy=FLASH_REMAT_POLICY)
         for i in range(self.transformer_blocks):
             x = block(
                 dim=self.dim, heads=self.heads, dim_head=self.dim_head,
