@@ -110,3 +110,26 @@ def test_seg_head_prefixed_keys():
     assert cfg.ct_clip_arch.seg_head.n_layers == 3
     assert cfg.ct_clip_arch.seg_head.out_dim == 22
     assert cfg.ct_clip_arch.seg_head.mid_dim == 64
+
+
+def test_all_shipped_configs_load():
+    """Every YAML in configs/ parses through the schema, including the old
+    flat schema (ct_clip_debug_30) and fusion/choose_cls blocks."""
+    import glob
+    import os
+
+    from vit_exp_tpu.core.config import load_config
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    paths = sorted(glob.glob(os.path.join(root, "*.yaml")))
+    assert len(paths) >= 7
+    for p in paths:
+        cfg = load_config(p)
+        assert cfg.arch.dim > 0
+    fusion = load_config(os.path.join(
+        root, "ct_clip_vit_open_seg_fusion_single_cls.yaml"))
+    assert fusion.ct_clip_arch.fusion_head is not None
+    assert fusion.ct_clip_arch.open_seg_loss_hyper_config["choose_cls"] == [5]
+    assert fusion.ct_clip_arch.fix_text_encoder
+    seg = load_config(os.path.join(root, "ct_clip_vit_seg.yaml"))
+    assert seg.ct_clip_arch.use_seg
