@@ -171,3 +171,17 @@ def test_loader_abandoned_iterator_no_hang():
     assert threading.active_count() <= before + 1, (
         f"leaked threads: {threading.active_count() - before}"
     )
+
+
+def test_copy_tree_parallel(tmp_path):
+    from vit_exp_tpu.data.mask_tools import copy_tree_parallel
+
+    src = tmp_path / "src" / "a" / "b"
+    src.mkdir(parents=True)
+    (src / "x.npz").write_bytes(b"123")
+    (tmp_path / "src" / "y.txt").write_text("hello")
+    dst = tmp_path / "dst"
+    assert copy_tree_parallel(str(tmp_path / "src"), str(dst)) == 2
+    assert (dst / "a" / "b" / "x.npz").read_bytes() == b"123"
+    # resume: same-size files skipped
+    assert copy_tree_parallel(str(tmp_path / "src"), str(dst)) == 0

@@ -66,3 +66,48 @@ def test_retrieval_self_consistency():
     v2v2 = volume_to_volume(lat, k=3, labels=labels)
     assert "label_overlap" in v2v2
     assert v2v2["label_overlap"].shape == (12, 3)
+
+
+def test_find_threshold_separable():
+    from vit_exp_tpu.eval.metrics import find_threshold
+
+    rng = np.random.default_rng(0)
+    labels = np.concatenate([np.zeros(50), np.ones(50)])
+    probs = np.concatenate([rng.uniform(0, 0.3, 50), rng.uniform(0.7, 1, 50)])
+    t = find_threshold(probs, labels)
+    assert 0.3 <= t <= 0.7  # any separating threshold is ROC-ideal
+
+
+def test_bootstrap_thresholded_metrics():
+    from vit_exp_tpu.eval.metrics import bootstrap_thresholded_metrics
+
+    rng = np.random.default_rng(1)
+    y_true = rng.integers(0, 2, (60, 2))
+    y_pred = np.clip(y_true + rng.normal(0, 0.3, (60, 2)), 0, 1)
+    out = bootstrap_thresholded_metrics(y_pred, y_true, ["a", "b"],
+                                        n_samples=20)
+    for lbl in ("a", "b"):
+        for metric in ("f1", "acc", "precision"):
+            mean, lo, hi = out[lbl][metric]
+            assert 0 <= lo <= mean <= hi <= 1
+
+
+def test_evaluate_external_remap():
+    from vit_exp_tpu.eval.metrics import evaluate_external
+
+    rng = np.random.default_rng(2)
+    labels = [f"L{i}" for i in range(15)]
+    y_pred = rng.uniform(0, 1, (40, 15))
+    # external truth has 13 columns (15 minus skipped idx 4 and 13)
+    y_true = rng.integers(0, 2, (40, 13))
+    out = evaluate_external(y_pred, y_true, labels)
+    assert "L4_auc" not in out and "L13_auc" not in out
+    assert len([k for k in out
+                if k.endswith("_auc") and k != "mean_auc"]) == 13
+
+    # the merged column must use max(pred[:,1], pred[:,4])
+    from sklearn.metrics import roc_auc_score
+
+    expected = roc_auc_score(y_true[:, 1],
+                             np.maximum(y_pred[:, 1], y_pred[:, 4]))
+    np.testing.assert_allclose(out["L1_auc"], expected)

@@ -103,3 +103,34 @@ def compare_name_sets(
         "mask_only": sorted(masks - imgs),
         "common": sorted(imgs & masks),
     }
+
+
+def copy_tree_parallel(
+    src_root: str, dst_root: str, workers: int = 8,
+    skip_existing: bool = True,
+) -> int:
+    """Thread-pool recursive tree copy (copy_multi_process.py:5-31 /
+    copy_multi_process_az.py) — dataset staging onto fast local disk.
+    Returns the number of files copied; existing same-size files are
+    skipped so interrupted copies resume."""
+    import shutil
+
+    jobs: List[tuple] = []
+    for dirpath, _, names in os.walk(src_root):
+        rel = os.path.relpath(dirpath, src_root)
+        out_dir = os.path.join(dst_root, rel) if rel != "." else dst_root
+        os.makedirs(out_dir, exist_ok=True)
+        for n in names:
+            src = os.path.join(dirpath, n)
+            dst = os.path.join(out_dir, n)
+            if (skip_existing and os.path.exists(dst)
+                    and os.path.getsize(dst) == os.path.getsize(src)):
+                continue
+            jobs.append((src, dst))
+
+    def copy(job):
+        shutil.copyfile(job[0], job[1])
+        return 1
+
+    with ThreadPoolExecutor(workers) as pool:
+        return sum(pool.map(copy, jobs))

@@ -86,3 +86,109 @@ def bootstrap_auroc(
             float(np.quantile(arr, 1 - lo_q)),
         )
     return out
+
+
+def find_threshold(
+    probabilities: np.ndarray, true_labels: np.ndarray, n_steps: int = 100
+) -> float:
+    """Threshold minimizing distance to the ROC ideal point (0, 1) over a
+    linspace sweep — bootstrap_values.py:22-52 semantics (their 'best_roc'
+    is sqrt((1-TPR)² + FPR²), scanned over 100 thresholds in [0, 1])."""
+    best_threshold, best_dist = 0.0, float("inf")
+    pos = true_labels == 1
+    neg = ~pos
+    n_pos, n_neg = int(pos.sum()), int(neg.sum())
+    for threshold in np.linspace(0, 1, n_steps):
+        pred = probabilities > threshold
+        tpr = float((pred & pos).sum()) / n_pos if n_pos else 0.0
+        fpr = float((pred & neg).sum()) / n_neg if n_neg else 0.0
+        dist = np.sqrt((1 - tpr) ** 2 + fpr ** 2)
+        if dist <= best_dist:
+            best_dist, best_threshold = dist, float(threshold)
+    return best_threshold
+
+
+def bootstrap_thresholded_metrics(
+    y_pred: np.ndarray,
+    y_true: np.ndarray,
+    labels: Sequence[str],
+    n_samples: int = 1000,
+    seed: int = 0,
+) -> Dict[str, Dict[str, Tuple[float, float, float]]]:
+    """Per-label F1 / accuracy / precision (weighted, at the find_threshold
+    operating point) over bootstrap resamples → (mean, ci_low, ci_high)
+    each — the f1/acc/precision xlsx sweep of bootstrap_values.py:100-160."""
+    from sklearn.metrics import (accuracy_score, f1_score, precision_score)
+
+    rng = np.random.default_rng(seed)
+    n = y_true.shape[0]
+    thresholds = [
+        find_threshold(y_pred[:, i], y_true[:, i])
+        for i in range(len(labels))
+    ]
+    stats: Dict[str, Dict[str, List[float]]] = {
+        label: {"f1": [], "acc": [], "precision": []} for label in labels
+    }
+    for _ in range(n_samples):
+        idx = rng.integers(0, n, n)
+        yp, yt = y_pred[idx], y_true[idx]
+        for i, label in enumerate(labels):
+            pred = (yp[:, i] > thresholds[i]).astype(int)
+            truth = yt[:, i].astype(int)
+            stats[label]["f1"].append(
+                float(f1_score(truth, pred, average="weighted",
+                               zero_division=0)))
+            stats[label]["acc"].append(float(accuracy_score(truth, pred)))
+            stats[label]["precision"].append(
+                float(precision_score(truth, pred, average="weighted",
+                                      zero_division=0)))
+    out: Dict[str, Dict[str, Tuple[float, float, float]]] = {}
+    for label, metric_lists in stats.items():
+        out[label] = {}
+        for metric, vals in metric_lists.items():
+            arr = np.asarray(vals)
+            out[label][metric] = (
+                float(arr.mean()),
+                float(np.quantile(arr, 0.025)),
+                float(np.quantile(arr, 0.975)),
+            )
+    return out
+
+
+def evaluate_external(
+    y_pred: np.ndarray,
+    y_true: np.ndarray,
+    labels: Sequence[str],
+    *,
+    skip_idx: Sequence[int] = (4, 13),
+    merge_max: Dict[int, Tuple[int, ...]] = None,
+) -> Dict[str, float]:
+    """External-dataset AUROC with the reference's label remap
+    (eval.py:206-265): prediction columns in `skip_idx` are dropped
+    (default: 'Coronary artery wall calcification' #4 folded into
+    'Arterial wall calcification' #1, 'Interlobular septal thickening'
+    #13 absent externally); `merge_max` maps a kept prediction index to
+    the set of internal indices max-pooled into it (default {1: (1, 4)}).
+    y_true has one column per KEPT label, in order."""
+    if merge_max is None:
+        merge_max = {1: (1, 4)}
+    out: Dict[str, float] = {}
+    aucs: List[float] = []
+    counter = 0
+    for i, label in enumerate(labels):
+        if i in skip_idx:
+            continue
+        if i in merge_max:
+            prob = np.max(y_pred[:, list(merge_max[i])], axis=1)
+        else:
+            prob = y_pred[:, i]
+        truth = y_true[:, counter]
+        counter += 1
+        if truth.min() == truth.max():
+            out[f"{label}_auc"] = float("nan")
+            continue
+        auc = float(roc_auc_score(truth, prob))
+        out[f"{label}_auc"] = auc
+        aucs.append(auc)
+    out["mean_auc"] = float(np.mean(aucs)) if aucs else float("nan")
+    return out
