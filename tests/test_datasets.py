@@ -211,3 +211,26 @@ def test_packed_dataset_through_loader_and_cli_spec(tmp_path):
     batch = next(iter(loader))
     assert batch["image"].shape == (2, 1, 4, 8, 8)
     assert batch["input_ids"].shape[0] == 2
+
+
+def test_loader_host_sharding():
+    """num_shards loaders with the same seed cover the dataset exactly
+    once, disjointly (multihost DP ingest)."""
+    from vit_exp_tpu.data.loader import Loader
+
+    class Idx:
+        def __len__(self):
+            return 23
+
+        def __getitem__(self, i):
+            return {"i": np.asarray([i])}
+
+    seen = []
+    for shard in range(3):
+        loader = Loader(Idx(), batch_size=2, shuffle=True, seed=7,
+                        shard_id=shard, num_shards=3)
+        for batch in loader:
+            seen += list(batch["i"].reshape(-1))
+    assert sorted(seen) == list(range(23))
+    # len() reflects the shard, not the full dataset
+    assert len(Loader(Idx(), batch_size=2, shard_id=0, num_shards=3)) == 4

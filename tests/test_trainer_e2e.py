@@ -191,3 +191,39 @@ def test_zero_shot_engine_sharded(tmp_path):
     ds = SyntheticInferenceDataset(n=10, arch=config.arch, n_labels=2)
     res = engine.infer(ds)
     assert "mean_auc" in res
+
+
+def test_preemption_checkpoint(tmp_path):
+    """SIGTERM-style preemption: the loop saves full state mid-run and
+    returns; a fresh trainer resumes from that checkpoint."""
+    import signal
+
+    from vit_exp_tpu.train.trainer import CTClipTrainer
+
+    config = _config(tmp_path)
+    tok = HashTokenizer(vocab_size=128, max_length=12)
+    model = build_ctclip(config, bert_config=BertConfig.tiny(),
+                         policy=FP32_POLICY, dim_latent=16)
+    datasets = [
+        SyntheticCTDataset("imagereport", n=4, arch=config.arch,
+                           tokenizer=tok, max_text_len=12),
+        SyntheticCTDataset("imageopenseg", n=4, arch=config.arch,
+                           tokenizer=tok, n_classes=3, max_text_len=12),
+    ]
+    trainer = CTClipTrainer(
+        model, config, datasets=datasets,
+        mesh_config=MeshConfig(data=-1, fsdp=1, model=1),
+    )
+    trainer.install_preemption_handler()
+    # deliver a real signal: handler must only set the flag
+    signal.raise_signal(signal.SIGTERM)
+    trainer.train(num_steps=100)  # returns immediately via the flag
+    assert trainer.step < 100
+    assert trainer.step in trainer.ckpt.all_steps()
+
+    trainer2 = CTClipTrainer(
+        model, config, datasets=datasets,
+        mesh_config=MeshConfig(data=-1, fsdp=1, model=1),
+        resume_step=trainer.step,
+    )
+    assert trainer2.step == trainer.step

@@ -182,6 +182,7 @@ def main(argv=None):
                             resume_step=resume,
                             eval_hooks=hooks["eval_hooks"],
                             sample_hooks=hooks["sample_hooks"])
+    trainer.install_preemption_handler()
     trainer.train(num_steps=args.steps)
 
 

@@ -1,0 +1,189 @@
+"""Resident-weights zero-shot inference service.
+
+Production-serving counterpart of the batch CLIs: loads a CTCLIP
+checkpoint once, keeps weights on-device and prompt embeddings cached
+(the FAST-engine trick, zero_shot.py:480-497), and answers HTTP requests
+from the warm jitted programs — no per-request compile, load, or
+host→device weight transfer.
+
+Endpoints (stdlib http.server; JSON in/out):
+  GET  /health            → {"status": "ok", "pathologies": [...]}
+  POST /classify          body {"volume": <nested list | base64 npy>,
+                                "shape": optional} →
+                          {"probs": {pathology: P(present)}, "ms": float}
+  POST /classify_path     body {"path": "/abs/volume.npz"} — server-side
+                          read (packed stores & npz), avoids shipping
+                          ~55 MB volumes through HTTP in trusted setups
+  POST /embed             body as /classify → {"latent": [768 floats]}
+
+Usage:
+    python -m vit_exp_tpu.cli.serve --config cfg.yaml \
+        [--model_path ckpt] [--port 8750] [--synthetic-init]
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import threading
+import time
+
+
+def _decode_volume(payload, expect_shape):
+    import numpy as np
+
+    vol = payload.get("volume")
+    if isinstance(vol, str):  # base64-encoded .npy bytes
+        arr = np.load(io.BytesIO(base64.b64decode(vol)), allow_pickle=False)
+    elif vol is not None:
+        arr = np.asarray(vol, dtype=np.float32)
+    else:
+        path = payload["path"]
+        if path.endswith(".npz"):
+            with np.load(path) as d:
+                arr = d[list(d.keys())[0]]
+        else:
+            arr = np.load(path, allow_pickle=False)
+    arr = np.asarray(arr, np.float32)
+    if arr.ndim == 3:
+        arr = arr[None]
+    if expect_shape and tuple(arr.shape[-3:]) != tuple(expect_shape):
+        raise ValueError(
+            f"volume shape {arr.shape} != expected {expect_shape}")
+    return arr
+
+
+def build_server(engine, latent_fn, expect_shape, port: int):
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    lock = threading.Lock()  # one dispatch at a time; TPU is serial anyway
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._send(200, {"status": "ok",
+                                 "pathologies": engine.pathologies})
+            else:
+                self._send(404, {"error": "unknown endpoint"})
+
+        def do_POST(self):
+            import numpy as np
+
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                arr = _decode_volume(payload, expect_shape)
+                t0 = time.perf_counter()
+                with lock:
+                    if self.path in ("/classify", "/classify_path"):
+                        probs = engine.predict_batch(arr[None])[0]
+                        out = {
+                            "probs": {p: float(v) for p, v in
+                                      zip(engine.pathologies, probs)},
+                            "ms": (time.perf_counter() - t0) * 1e3,
+                        }
+                    elif self.path == "/embed":
+                        out = {
+                            "latent": [float(x) for x in latent_fn(arr)],
+                            "ms": (time.perf_counter() - t0) * 1e3,
+                        }
+                    else:
+                        self._send(404, {"error": "unknown endpoint"})
+                        return
+                self._send(200, out)
+            except Exception as e:  # surface errors to the client
+                self._send(400, {"error": str(e)})
+
+    return ThreadingHTTPServer(("0.0.0.0", port), Handler)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--model_path", default=None)
+    parser.add_argument("--torch_ckpt", action="store_true")
+    parser.add_argument("--port", type=int, default=8750)
+    parser.add_argument("--vocab", default=None)
+    parser.add_argument("--warmup", action="store_true", default=True)
+    args = parser.parse_args(argv)
+
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vit_exp_tpu.core.config import load_config
+    from vit_exp_tpu.data.tokenizer import load_tokenizer
+    from vit_exp_tpu.eval.zero_shot import ZeroShotClassifier
+    from vit_exp_tpu.models.bert import BertConfig
+    from vit_exp_tpu.models.ctclip import CTCLIP
+    from vit_exp_tpu.models.factory import build_ctclip
+
+    config = load_config(args.config)
+    tokenizer = load_tokenizer(args.vocab)
+    bert_cfg = BertConfig(vocab_size=tokenizer.vocab_size)
+    on_tpu = jax.default_backend() == "tpu"
+    model = build_ctclip(
+        config, bert_config=bert_cfg,
+        attn_impl="pallas_static" if on_tpu else "xla",
+        ff_impl="pallas" if on_tpu else "xla",
+    )
+    a = config.arch
+    expect_shape = (a.temporal_size, a.image_size, a.image_size)
+    video0 = jnp.zeros((1, a.channels) + expect_shape, jnp.float32)
+    if args.model_path:
+        from vit_exp_tpu.cli.run_zero_shot_cls import load_params
+
+        params = load_params(model, config, args.model_path,
+                             torch_ckpt=args.torch_ckpt, bert_cfg=bert_cfg)
+    else:
+        print("WARNING: serving randomly-initialized weights "
+              "(no --model_path)", flush=True)
+        params = nn.unbox(
+            model.init(jax.random.PRNGKey(0), video0,
+                       jnp.zeros((1, 16), jnp.int32),
+                       jnp.ones((1, 16), jnp.int32))
+        )["params"]
+
+    engine = ZeroShotClassifier(model, params, tokenizer, batch_size=1)
+    engine.prepare()
+
+    @jax.jit
+    def _latent(video):
+        tokens = model.apply({"params": params}, video,
+                             method=CTCLIP.encode_image_tokens)
+        return model.apply({"params": params}, tokens,
+                           method=CTCLIP.image_latents_from_tokens)
+
+    def latent_fn(arr):
+        return np.asarray(_latent(jnp.asarray(arr[None])))[0]
+
+    if args.warmup:  # compile both programs before accepting traffic
+        t0 = time.perf_counter()
+        dummy = np.zeros((1, a.channels) + expect_shape, np.float32)
+        engine.predict_batch(dummy)
+        latent_fn(dummy[0])
+        print(f"warmup compile {time.perf_counter() - t0:.1f}s", flush=True)
+
+    server = build_server(engine, latent_fn, expect_shape, args.port)
+    print(f"serving on :{args.port} "
+          f"(volume {expect_shape}, {len(engine.pathologies)} pathologies)",
+          flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,8 @@ class Loader:
         drop_last: bool = False,
         num_workers: int = 4,
         prefetch: int = 2,
+        shard_id: int = 0,
+        num_shards: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -61,9 +63,23 @@ class Loader:
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
         self.epoch = 0
+        # multihost DP: every host shuffles the SAME permutation
+        # (seed, epoch) and takes its disjoint stride — per-host loaders
+        # then feed the per-host slice of the global batch
+        self.shard_id = shard_id
+        self.num_shards = max(1, num_shards)
+
+    @classmethod
+    def for_host(cls, dataset, batch_size: int, **kw):
+        """Loader sharded by the current jax process (multihost DP)."""
+        import jax
+
+        kw.setdefault("shard_id", jax.process_index())
+        kw.setdefault("num_shards", jax.process_count())
+        return cls(dataset, batch_size, **kw)
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(range(self.shard_id, len(self.dataset), self.num_shards))
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -73,6 +89,8 @@ class Loader:
         if self.shuffle:
             rng = np.random.default_rng((self.seed, self.epoch))
             rng.shuffle(idx)
+        if self.num_shards > 1:
+            idx = idx[self.shard_id::self.num_shards]
         batches = [
             idx[i:i + self.batch_size].tolist()
             for i in range(0, len(idx), self.batch_size)

@@ -630,9 +630,13 @@ def _flash_core_bwd(scale, n_real, n_null, block_q, block_k, interpret,
     if (k.shape[1] == n_real and n_real % block_k == 0
             and q.shape[1] % block_q == 0):
         # exact tiling (production: 13 824 tokens, 1152 blocks, nulls kept
-        # outside) → one-pass fused backward, 5 MXU passes per block pair
+        # outside) → one-pass fused backward, 5 MXU passes per block pair.
+        # The bwd prefers a taller q block than the fwd: 2304×1152 measured
+        # 41.35 vs 42.61 ms at production shape (scripts/ablate_attn_bwd.py);
+        # 2304² / 3456×1152 blow the compiler's VMEM budget.
+        bq = 2 * block_q if q.shape[1] % (2 * block_q) == 0 else block_q
         dq, dk, dv = _flash_bwd_fused(
-            q, k, v, out, lse, g, scale, block_q, block_k, interpret
+            q, k, v, out, lse, g, scale, bq, block_k, interpret
         )
     else:
         dq, dk, dv = _flash_bwd_concat(

@@ -179,6 +179,19 @@ class CTClipTrainer:
         self.step += 1
         return logs
 
+    def install_preemption_handler(self, signals=None):
+        """Checkpoint-on-preemption: SIGTERM/SIGINT set a flag; the loop
+        finishes the in-flight step, saves full train state, and returns
+        cleanly — resumable via --auto_resume.  (The reference has no
+        elasticity story, SURVEY §5; on preemptible TPU pools this is
+        table stakes.)"""
+        import signal as _signal
+
+        self._preempted = False
+        for sig in signals or (_signal.SIGTERM, _signal.SIGINT):
+            _signal.signal(
+                sig, lambda *_: setattr(self, "_preempted", True))
+
     def train(self, num_steps: Optional[int] = None,
               profile_dir: Optional[str] = None):
         tcfg = self.trainer_cfg
@@ -187,6 +200,12 @@ class CTClipTrainer:
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
         while self.step < total:
+            if getattr(self, "_preempted", False):
+                if is_main_process():
+                    self.ckpt.save(self.step, self.state)
+                print(f"preempted at step {self.step}: state saved, exiting",
+                      flush=True)
+                return
             with timer:
                 logs = self.train_step()
             logs.update(timer.metrics())
