@@ -59,3 +59,87 @@ def test_ring_gradients_match_full():
                       argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_ring, g_full):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_flash_with_lse_outputs_and_grads():
+    """flash_attention_with_lse: lse matches the naive logsumexp, and grads
+    through BOTH outputs match autodiff of the naive form (the lse
+    cotangent folds into delta in the shared backward kernels)."""
+    import math
+
+    from vit_exp_tpu.ops.flash_attention import flash_attention_with_lse
+
+    rng = np.random.default_rng(3)
+    q, k, v = [
+        jnp.asarray(rng.standard_normal((1, 2, 24, 8)).astype(np.float32))
+        for _ in range(3)
+    ]
+    cot_o = jnp.asarray(rng.standard_normal((1, 2, 24, 8)).astype(np.float32))
+    cot_l = jnp.asarray(rng.standard_normal((1, 2, 24)).astype(np.float32))
+    scale = 1.0 / math.sqrt(8)
+
+    def naive(q, k, v):
+        logits = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        out = jnp.einsum("bhij,bhjd->bhid",
+                         jax.nn.softmax(logits, axis=-1), v)
+        return jnp.vdot(out, cot_o) + jnp.vdot(lse, cot_l)
+
+    def ours(q, k, v):
+        out, lse = flash_attention_with_lse(q, k, v, scale=scale,
+                                            block_q=8, block_k=8)
+        return jnp.vdot(out, cot_o) + jnp.vdot(lse, cot_l)
+
+    o_ref, l_ref = None, None
+    out, lse = flash_attention_with_lse(q, k, v, scale=scale,
+                                        block_q=8, block_k=8)
+    logits = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
+    np.testing.assert_allclose(
+        np.asarray(lse), np.asarray(jax.scipy.special.logsumexp(logits, -1)),
+        atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out),
+        np.asarray(jnp.einsum("bhij,bhjd->bhid",
+                              jax.nn.softmax(logits, -1), v)),
+        atol=2e-5)
+
+    g_ref = jax.grad(naive, argnums=(0, 1, 2))(q, k, v)
+    g_ours = jax.grad(ours, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ours, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, err_msg=f"d{name}")
+
+
+def test_ring_pallas_chunks_match_full_and_grad():
+    """impl="pallas" ring attention (flash chunks, no local logits) ==
+    full attention, forward and gradient."""
+    rng = np.random.default_rng(5)
+    q, k, v = [
+        jnp.asarray(rng.standard_normal((1, 2, 64, 8)).astype(np.float32))
+        for _ in range(3)
+    ]
+    mesh = _mesh()
+    spec = P(None, None, "seq", None)
+
+    # check_rep=False: pallas_call does not declare varying-mesh-axes info
+    ring = shard_map(
+        lambda q, k, v: ring_attention(q, k, v, axis_name="seq",
+                                       impl="pallas"),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_rep=False,
+    )
+    out = jax.jit(ring)(q, k, v)
+    ref = _full_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(jnp.square(ring(q, k, v)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(_full_attention(q, k, v)))
+
+    g_ring = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ring, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, err_msg=f"d{name}")

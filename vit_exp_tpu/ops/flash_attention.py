@@ -426,15 +426,19 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _flash_bwd_concat(q, kc, vc, out, lse, g, scale, kv_len, block_q, block_k,
-                      interpret):
+                      interpret, dlse=None):
     """Backward over CONCATENATED kv (nulls prepended, tail padded/masked).
-    kv_len here counts nulls + real tokens."""
+    kv_len here counts nulls + real tokens.  dlse: optional (bh, nq, 1)
+    cotangent on lse — ∂lse/∂logits = p, so it folds into delta
+    (ds = p·(dp − (delta − dlse))) with zero kernel changes."""
     bh, nq, dp = q.shape
     nkv = kc.shape[1]
     delta = jnp.sum(
         g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
         keepdims=True,
     )
+    if dlse is not None:
+        delta = delta - dlse
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, kv_len=kv_len,
@@ -548,16 +552,19 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _flash_bwd_fused(q, k, v, out, lse, g, scale, block_q, block_k,
-                     interpret):
+                     interpret, dlse=None):
     """Single-kernel backward; requires nq % block_q == 0 and
     nkv % block_k == 0 (production 13 824 with 1152 blocks).  Returns
-    (dq, dk, dv)."""
+    (dq, dk, dv).  dlse folds an lse cotangent into delta (see
+    _flash_bwd_concat)."""
     bh, nq, dp = q.shape
     nkv = k.shape[1]
     delta = jnp.sum(
         g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
         keepdims=True,
     )
+    if dlse is not None:
+        delta = delta - dlse
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_fused_kernel, scale=scale, block_k=block_k),
         grid=(bh, nq // block_q, nkv // block_k),
@@ -703,6 +710,84 @@ def _flash_core_static_bwd(scale, n_real, n_null, block_q, block_k,
 
 
 _flash_core_static.defvjp(_flash_core_static_fwd, _flash_core_static_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_core_lse(q, k, v, scale, n_real, block_q, block_k, interpret):
+    """(out, lse) with BOTH outputs differentiable — the primitive under
+    ring attention, whose streaming logsumexp combine needs ∂/∂lse."""
+    bh, _, dp = q.shape
+    z = jnp.zeros((bh, NULL_PAD, dp), k.dtype)
+    out, lse = _flash_fwd(q, k, v, z, z, scale, n_real, block_q, block_k,
+                          interpret, save_lse=True, n_null=0)
+    return out, lse
+
+
+def _flash_core_lse_fwd(q, k, v, scale, n_real, block_q, block_k, interpret):
+    bh, _, dp = q.shape
+    z = jnp.zeros((bh, NULL_PAD, dp), k.dtype)
+    out, lse = _flash_fwd(q, k, v, z, z, scale, n_real, block_q, block_k,
+                          interpret, save_lse=True, n_null=0)
+    return (out, lse), (q, k, v, out, lse)
+
+
+def _flash_core_lse_bwd(scale, n_real, block_q, block_k, interpret, res, cts):
+    q, k, v, out, lse = res
+    g, glse = cts
+    if (k.shape[1] == n_real and n_real % block_k == 0
+            and q.shape[1] % block_q == 0):
+        bq = 2 * block_q if q.shape[1] % (2 * block_q) == 0 else block_q
+        return _flash_bwd_fused(q, k, v, out, lse, g, scale, bq, block_k,
+                                interpret, dlse=glse)
+    return _flash_bwd_concat(q, k, v, out, lse, g, scale, n_real, block_q,
+                             block_k, interpret, dlse=glse)
+
+
+_flash_core_lse.defvjp(_flash_core_lse_fwd, _flash_core_lse_bwd)
+
+
+def flash_attention_with_lse(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: Optional[bool] = None,
+):
+    """Flash attention returning (out (b,h,n,d), lse (b,h,n)), both
+    differentiable (the lse cotangent is a delta shift in the shared
+    backward kernels).  No null-kv; used as the per-chunk primitive of
+    ops/ring_attention.py so sequence-parallel chunks never materialize
+    (n_local × n_local) logits."""
+    b, h, nq, d = q.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if interpret is None:
+        interpret = _interpret_default()
+    nkv = k.shape[2]
+    if block_q == DEFAULT_BLOCK_Q and nq % 1152 == 0:
+        block_q = 1152
+    if block_k == DEFAULT_BLOCK_K and nkv % 1152 == 0:
+        block_k = 1152
+    block_q = min(block_q, max(nq, 8))
+    block_k = min(block_k, max(nkv, 8))
+    nq_pad = -(-nq // block_q) * block_q
+    nkv_pad = -(-nkv // block_k) * block_k
+    dp = max(-(-d // 8) * 8, 8)
+
+    def prep(x, n_pad):
+        x = _pad_axis(_pad_axis(x, n_pad, axis=2), dp, axis=3)
+        return x.reshape(x.shape[0] * x.shape[1], n_pad, dp)
+
+    out, lse = _flash_core_lse(
+        prep(q, nq_pad), prep(k, nkv_pad), prep(v, nkv_pad),
+        scale, nkv, block_q, block_k, interpret,
+    )
+    out = out.reshape(b, h, nq_pad, dp)[:, :, :nq, :d]
+    lse = lse.reshape(b, h, nq_pad)[:, :, :nq]
+    return out, lse
 
 
 # ---------------------------------------------------------------------------

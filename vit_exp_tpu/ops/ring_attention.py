@@ -16,6 +16,9 @@ kernel's custom VJP and the combine/ppermute are native JAX ops.
 
 Usage (inside shard_map, q/k/v sharded on the token axis):
     out = ring_attention(q, k, v, axis_name="seq")
+With impl="pallas" (flash chunks — required at production local-chunk
+sizes), pass check_rep=False / check_vma=False to shard_map: pallas_call
+does not declare varying-mesh-axes metadata.
 """
 
 from __future__ import annotations
@@ -27,9 +30,9 @@ import jax
 import jax.numpy as jnp
 
 def _chunk_attention(q, k, v, scale):
-    """Naive per-chunk attention returning (out, lse); small chunks land on
-    the MXU through XLA, large chunks should use the pallas path (the
-    combine is identical either way)."""
+    """Naive per-chunk attention returning (out, lse) — materializes the
+    (n_local, n_local) logits; fine for small chunks, impossible at
+    production scale (impl="pallas" instead)."""
     logits = jnp.einsum(
         "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
     ) * scale
@@ -44,6 +47,16 @@ def _chunk_attention(q, k, v, scale):
     return out.astype(jnp.float32), lse
 
 
+def _chunk_attention_flash(q, k, v, scale):
+    """Pallas flash chunk: blockwise softmax, (out, lse) both
+    differentiable (flash_attention_with_lse) — the production chunk
+    primitive; a 13 824/ring-token local chunk never builds its logits."""
+    from vit_exp_tpu.ops.flash_attention import flash_attention_with_lse
+
+    out, lse = flash_attention_with_lse(q, k, v, scale=scale)
+    return out.astype(jnp.float32), lse
+
+
 def ring_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -51,20 +64,23 @@ def ring_attention(
     *,
     axis_name: str,
     scale: Optional[float] = None,
+    impl: str = "xla",
 ) -> jnp.ndarray:
     """q/k/v: (b, h, n_local, d) — the LOCAL token shard.  Must run inside
-    shard_map/pmap with `axis_name` bound to the sequence mesh axis."""
+    shard_map/pmap with `axis_name` bound to the sequence mesh axis.
+    impl: "xla" (naive chunks) or "pallas" (flash chunks, production)."""
     d = q.shape[-1]
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     ring = jax.lax.axis_size(axis_name)
+    chunk = _chunk_attention_flash if impl == "pallas" else _chunk_attention
 
-    out, lse = _chunk_attention(q, k, v, scale)
+    out, lse = chunk(q, k, v, scale)
     kv = (k, v)
     perm = [(i, (i + 1) % ring) for i in range(ring)]
     for _ in range(ring - 1):
         kv = jax.lax.ppermute(kv, axis_name, perm)
-        o_i, lse_i = _chunk_attention(q, kv[0], kv[1], scale)
+        o_i, lse_i = chunk(q, kv[0], kv[1], scale)
         # streaming logsumexp combine
         lse_new = jnp.logaddexp(lse, lse_i)
         w_old = jnp.exp(lse - lse_new)[..., None]
