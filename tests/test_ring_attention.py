@@ -90,7 +90,6 @@ def test_flash_with_lse_outputs_and_grads():
                                             block_q=8, block_k=8)
         return jnp.vdot(out, cot_o) + jnp.vdot(lse, cot_l)
 
-    o_ref, l_ref = None, None
     out, lse = flash_attention_with_lse(q, k, v, scale=scale,
                                         block_q=8, block_k=8)
     logits = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
@@ -143,3 +142,59 @@ def test_ring_pallas_chunks_match_full_and_grad():
     for a, b, name in zip(g_ring, g_ref, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, err_msg=f"d{name}")
+
+
+def test_cosine_attention_ring_impl_with_nulls():
+    """cosine_attention(impl="ring") inside shard_map — including null kv
+    (combined outside the ring) and learned q/k scales — == the xla impl
+    on the full sequence, forward and gradient."""
+    from vit_exp_tpu.ops.attention import cosine_attention
+
+    rng = np.random.default_rng(7)
+    b, h, n, d = 1, 2, 32, 8
+    q, k, v = [
+        jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
+        for _ in range(3)
+    ]
+    null_k = jnp.asarray(rng.standard_normal((h, 2, d)).astype(np.float32))
+    null_v = jnp.asarray(rng.standard_normal((h, 2, d)).astype(np.float32))
+    q_scale = jnp.asarray(
+        (1 + 0.1 * rng.standard_normal(d)).astype(np.float32))
+    k_scale = jnp.asarray(
+        (1 + 0.1 * rng.standard_normal(d)).astype(np.float32))
+
+    mesh = _mesh()
+    tok = P(None, None, "seq", None)
+    rep3 = P(None, None, None)
+    rep1 = P(None)
+
+    def local(q, k, v, nk, nv, qs, ks):
+        return cosine_attention(
+            q, k, v, null_k=nk, null_v=nv, q_scale=qs, k_scale=ks,
+            scale=8.0, impl="ring", ring_chunk_impl="pallas",
+        )
+
+    ring = shard_map(
+        local, mesh=mesh,
+        in_specs=(tok, tok, tok, rep3, rep3, rep1, rep1),
+        out_specs=tok, check_rep=False,
+    )
+    out = jax.jit(ring)(q, k, v, null_k, null_v, q_scale, k_scale)
+    ref = cosine_attention(
+        q, k, v, null_k=null_k, null_v=null_v, q_scale=q_scale,
+        k_scale=k_scale, scale=8.0, impl="xla",
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    g_ring = jax.jit(jax.grad(
+        lambda q, k, v: jnp.sum(jnp.square(
+            ring(q, k, v, null_k, null_v, q_scale, k_scale))),
+        argnums=(0, 1, 2)))(q, k, v)
+    g_ref = jax.grad(
+        lambda q, k, v: jnp.sum(jnp.square(cosine_attention(
+            q, k, v, null_k=null_k, null_v=null_v, q_scale=q_scale,
+            k_scale=k_scale, scale=8.0, impl="xla"))),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, bb, name in zip(g_ring, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=1e-4, err_msg=f"d{name}")

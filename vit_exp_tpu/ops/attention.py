@@ -63,6 +63,8 @@ def cosine_attention(
     attn_bias: Optional[jnp.ndarray] = None,
     impl: str = "xla",
     static_max: bool = False,
+    ring_axis: str = "seq",
+    ring_chunk_impl: str = "xla",
 ) -> jnp.ndarray:
     """q, k, v: (b, h, n, d).  null_k/null_v: (h, n_null, d).  q_scale/k_scale:
     (d,).  mask: broadcastable to (b, h, n_q, n_kv) with True = attend.
@@ -115,7 +117,7 @@ def cosine_attention(
             # after l2norm every q/k row has ‖·‖₂ ≤ 1, so with per-dim
             # scales γ: q'·k'·scale ≤ scale·max|γ_q|·max|γ_k| — a sound
             # softmax shift that lets the kernel skip the running max
-            # (inference only: the static path has no VJP)
+            # (differentiable: lse = bound + log l feeds the shared bwd)
             bq = (jnp.max(jnp.abs(q_scale)) if q_scale is not None
                   else jnp.float32(1.0))
             bk = (jnp.max(jnp.abs(k_scale)) if k_scale is not None
@@ -129,4 +131,36 @@ def cosine_attention(
             logit_bound=logit_bound,
             null_strategy="init" if static_max else "concat",
         )
+    if impl == "ring":
+        # Sequence parallelism: q/k/v are the LOCAL token shard and this
+        # call sits inside shard_map with `ring_axis` bound (SURVEY §5:
+        # seq scaling as a mesh-axis switch).  The cosine-sim
+        # preprocessing above (l2norm + scales) is per-token, so it is
+        # already local-correct.  Null kv live OUTSIDE the ring and merge
+        # exactly via the logsumexp identity — every shard sees them once.
+        if mask is not None or attn_bias is not None:
+            raise NotImplementedError("ring path does not take mask/bias")
+        from vit_exp_tpu.ops.ring_attention import ring_attention
+
+        out, lse = ring_attention(
+            q, k, v, axis_name=ring_axis, scale=scale,
+            impl=ring_chunk_impl, return_lse=True,
+        )
+        out = out.astype(jnp.float32)
+        if n_null:
+            nl = jnp.einsum(
+                "bhid,bhjd->bhij", q.astype(jnp.float32),
+                nk.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ) * scale                                     # (b, h, n, n_null)
+            import jax
+
+            lse_n = jax.scipy.special.logsumexp(nl, axis=-1)
+            lse_new = jnp.logaddexp(lse, lse_n)
+            p_n = jnp.exp(nl - lse_new[..., None])
+            out = (out * jnp.exp(lse - lse_new)[..., None]
+                   + jnp.einsum("bhij,bhjd->bhid", p_n,
+                                nv.astype(jnp.float32),
+                                preferred_element_type=jnp.float32))
+        return out.astype(v.dtype)
     raise ValueError(f"unknown attention impl {impl!r}")

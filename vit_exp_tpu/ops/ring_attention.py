@@ -65,10 +65,13 @@ def ring_attention(
     axis_name: str,
     scale: Optional[float] = None,
     impl: str = "xla",
+    return_lse: bool = False,
 ) -> jnp.ndarray:
     """q/k/v: (b, h, n_local, d) — the LOCAL token shard.  Must run inside
     shard_map/pmap with `axis_name` bound to the sequence mesh axis.
-    impl: "xla" (naive chunks) or "pallas" (flash chunks, production)."""
+    impl: "xla" (naive chunks) or "pallas" (flash chunks, production).
+    return_lse: also return the global lse (b, h, n_local) — lets callers
+    combine extra out-of-ring kv (e.g. CTViT3D's null kv) exactly."""
     d = q.shape[-1]
     if scale is None:
         scale = 1.0 / math.sqrt(d)
@@ -87,4 +90,6 @@ def ring_attention(
         w_new = jnp.exp(lse_i - lse_new)[..., None]
         out = out * w_old + o_i * w_new
         lse = lse_new
+    if return_lse:
+        return out.astype(q.dtype), lse
     return out.astype(q.dtype)
