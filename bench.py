@@ -65,7 +65,9 @@ def bench_train():
     train_attn = os.environ.get(
         "BENCH_TRAIN_ATTN", "pallas_static" if on_tpu else "xla"
     )
-    remat = os.environ.get("BENCH_TRAIN_REMAT", "1") == "1"
+    # default OFF since the fused attention/FF backwards: recompute now
+    # costs more than the saved activations (1.551 vs 1.527 steps/s)
+    remat = os.environ.get("BENCH_TRAIN_REMAT", "0") == "1"
     train_ff = os.environ.get(
         "BENCH_TRAIN_FF", "pallas" if on_tpu else "xla"
     )

@@ -194,3 +194,33 @@ def test_fused_geglu_ff_module_grads():
             np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4),
         g_ref, g_ours,
     )
+
+
+def test_patch_dropout():
+    """PatchDropout parity with ct_clip.py:189-206: keeps
+    max(1, int(n·(1−p))) random tokens per sample, rows drawn from the
+    input; identity when deterministic or p=0."""
+    from vit_exp_tpu.models.layers import PatchDropout
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, 10, 4)).astype(np.float32))
+    mod = PatchDropout(prob=0.5)
+    out = mod.apply({}, x, deterministic=False,
+                    rngs={"patch_dropout": jax.random.PRNGKey(1)})
+    assert out.shape == (3, 5, 4)
+    # every kept row exists in the source sample
+    for b in range(3):
+        for row in np.asarray(out[b]):
+            assert any(np.allclose(row, r) for r in np.asarray(x[b]))
+    # no duplicate tokens kept (top-k of distinct scores)
+    for b in range(3):
+        rows = {tuple(np.round(r, 5)) for r in np.asarray(out[b])}
+        assert len(rows) == 5
+
+    np.testing.assert_array_equal(
+        np.asarray(mod.apply({}, x, deterministic=True)), np.asarray(x))
+    np.testing.assert_array_equal(
+        np.asarray(PatchDropout(prob=0.0).apply(
+            {}, x, deterministic=False,
+            rngs={"patch_dropout": jax.random.PRNGKey(1)})),
+        np.asarray(x))

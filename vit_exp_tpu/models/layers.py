@@ -217,3 +217,29 @@ class MLPHead(nn.Module):
             if i < self.n_layers - 1:
                 x = nn.leaky_relu(x, negative_slope=0.2)
         return x
+
+
+class PatchDropout(nn.Module):
+    """Random token subsampling during training (ct_clip.py:189-206; the
+    PatchDropout paper's ViT economizer): keep a random
+    max(1, int(n·(1−prob))) of the n tokens per sample.  Static output
+    shape (the keep count is trace-time), so it composes with jit; at
+    prob=0 / deterministic it is identity.  Needs an rng named
+    "patch_dropout"."""
+
+    prob: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True):
+        if deterministic or self.prob == 0.0:
+            return x
+        import jax
+
+        b, n = x.shape[0], x.shape[1]
+        keep = max(1, int(n * (1.0 - self.prob)))
+        rng = self.make_rng("patch_dropout")
+        scores = jax.random.normal(rng, (b, n))
+        _, idx = jax.lax.top_k(scores, keep)           # (b, keep)
+        return jnp.take_along_axis(
+            x, idx[..., None].astype(jnp.int32), axis=1
+        )
