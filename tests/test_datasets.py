@@ -214,8 +214,9 @@ def test_packed_dataset_through_loader_and_cli_spec(tmp_path):
 
 
 def test_loader_host_sharding():
-    """num_shards loaders with the same seed cover the dataset exactly
-    once, disjointly (multihost DP ingest)."""
+    """num_shards loaders with the same seed: disjoint coverage of the
+    dataset, and EQUAL batch counts per shard (wrap-padded) so multihost
+    jit programs stay in lockstep."""
     from vit_exp_tpu.data.loader import Loader
 
     class Idx:
@@ -225,12 +226,23 @@ def test_loader_host_sharding():
         def __getitem__(self, i):
             return {"i": np.asarray([i])}
 
-    seen = []
+    seen, counts = [], []
     for shard in range(3):
         loader = Loader(Idx(), batch_size=2, shuffle=True, seed=7,
                         shard_id=shard, num_shards=3)
+        got = []
         for batch in loader:
-            seen += list(batch["i"].reshape(-1))
-    assert sorted(seen) == list(range(23))
-    # len() reflects the shard, not the full dataset
+            got += list(batch["i"].reshape(-1))
+        counts.append(len(got))
+        seen += got
+    # every sample appears; wrap-padding only duplicates within a shard
+    assert sorted(set(seen)) == list(range(23))
+    # lockstep: every shard yields the same number of samples/batches
+    assert counts == [8, 8, 8]  # ceil(23/3) per shard
     assert len(Loader(Idx(), batch_size=2, shard_id=0, num_shards=3)) == 4
+    # degenerate: more shards than samples still yields target-length shards
+    class Two(Idx):
+        def __len__(self):
+            return 2
+    tiny = Loader(Two(), batch_size=1, shard_id=4, num_shards=5)
+    assert sum(1 for _ in tiny) == 1

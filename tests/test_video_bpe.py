@@ -177,7 +177,13 @@ def test_superres_dataset(tmp_path):
     ds = VideoTextSuperresDataset(
         str(tmp_path), str(tmp_path / "reports.csv"),
         str(tmp_path / "lowres"), target=(7, 8, 8), num_frames=2,
+        min_slices=5,
     )
+    # default slice gate (100..600, videotextdatasetsuperres.py:71) filters
+    # this 9-slice volume out
+    assert len(VideoTextSuperresDataset(
+        str(tmp_path), str(tmp_path / "reports.csv"),
+        str(tmp_path / "lowres"), target=(7, 8, 8))) == 0
     assert len(ds) == 1
     item = ds[0]
     assert item["image"].shape == (1, 7, 8, 8)      # 7 ≡ 1 (mod 2)
@@ -199,6 +205,6 @@ def test_superres_dataset(tmp_path):
     ds2 = VideoTextSuperresDataset(
         str(tmp_path), str(tmp_path / "reports.csv"),
         str(tmp_path / "lowres"), target=(7, 8, 8),
-        sample_list=str(lst),
+        sample_list=str(lst), min_slices=5,
     )
     assert len(ds2) == 1

@@ -47,8 +47,11 @@ def main(argv=None):
         temporal_patch_size=args.temporal_patch_size,
         attn_impl="xla",
     )
+    # init with a frame count ≡ 1 (mod tps) — CTViT's first-frame + temporal
+    # patch layout; the per-volume crop below enforces the same invariant
+    init_frames = 1 + 2 * args.temporal_patch_size
     video0 = jnp.zeros(
-        (1, 1, args.num_frames, args.image_size, args.image_size),
+        (1, 1, init_frames, args.image_size, args.image_size),
         jnp.float32,
     )
     variables = model.init(jax.random.PRNGKey(0), video0,
@@ -90,7 +93,9 @@ def main(argv=None):
             items.append((acc, os.path.basename(path), ds[i]["image"]))
 
     for acc, name, vol in items:
-        vol = cast_num_frames_mod1(vol[None], args.temporal_patch_size)
+        # vol is (c, F, H, W): crop the frame axis BEFORE batching so
+        # cast_num_frames_mod1 sees it at axis 1
+        vol = cast_num_frames_mod1(vol, args.temporal_patch_size)[None]
         recon = np.asarray(recon_fn(params, codebook, vol)[0, 0],
                            np.float32)
         out_dir = os.path.join(args.results_folder, f"samples.{acc}")

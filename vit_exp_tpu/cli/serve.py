@@ -117,7 +117,10 @@ def main(argv=None):
     parser.add_argument("--torch_ckpt", action="store_true")
     parser.add_argument("--port", type=int, default=8750)
     parser.add_argument("--vocab", default=None)
-    parser.add_argument("--warmup", action="store_true", default=True)
+    parser.add_argument("--warmup", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="compile both programs before accepting "
+                        "traffic (--no-warmup to skip)")
     args = parser.parse_args(argv)
 
     import flax.linen as nn

@@ -78,8 +78,14 @@ class Loader:
         kw.setdefault("num_shards", jax.process_count())
         return cls(dataset, batch_size, **kw)
 
+    def _shard_len(self) -> int:
+        # every shard is wrap-padded to the same ceiling so all hosts
+        # dispatch the same number of batches (global jit programs need
+        # lockstep step counts across hosts)
+        return -(-len(self.dataset) // self.num_shards)
+
     def __len__(self):
-        n = len(range(self.shard_id, len(self.dataset), self.num_shards))
+        n = self._shard_len()
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -90,7 +96,13 @@ class Loader:
             rng = np.random.default_rng((self.seed, self.epoch))
             rng.shuffle(idx)
         if self.num_shards > 1:
+            full = idx
             idx = idx[self.shard_id::self.num_shards]
+            target = self._shard_len()
+            if len(idx) == 0:  # more shards than samples
+                idx = full[np.arange(target) % len(full)]
+            elif len(idx) < target:
+                idx = np.concatenate([idx, idx[: target - len(idx)]])
         batches = [
             idx[i:i + self.batch_size].tolist()
             for i in range(0, len(idx), self.batch_size)

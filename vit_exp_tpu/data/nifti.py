@@ -21,6 +21,22 @@ _DTYPES = {
 }
 
 
+def read_nifti_shape(path: str) -> tuple:
+    """Header-only shape read (first 348 bytes) — cheap dataset filters
+    without decompressing the voxel payload."""
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(path, "rb") as f:
+        raw = f.read(348)
+    sizeof_hdr = struct.unpack("<i", raw[:4])[0]
+    endian = "<"
+    if sizeof_hdr != 348:
+        if struct.unpack(">i", raw[:4])[0] != 348:
+            raise ValueError(f"{path}: not a NIfTI-1 file")
+        endian = ">"
+    dim = struct.unpack(endian + "8h", raw[40:56])
+    return tuple(dim[1:1 + dim[0]])
+
+
 def read_nifti(path: str) -> np.ndarray:
     opener = gzip.open if str(path).endswith(".gz") else open
     with opener(path, "rb") as f:

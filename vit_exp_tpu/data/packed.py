@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -107,6 +108,7 @@ class PackedVolumeStore:
         self.by_key = {r["key"]: r for r in self.records}
         self._maps: Dict[int, np.memmap] = {}
         self._fds: Dict[int, int] = {}
+        self._fd_lock = threading.Lock()
 
     def keys(self) -> List[str]:
         return [r["key"] for r in self.records]
@@ -122,11 +124,14 @@ class PackedVolumeStore:
         return m
 
     def _fd(self, shard: int) -> int:
-        fd = self._fds.get(shard)
-        if fd is None:
-            fd = os.open(self._shard_path(shard), os.O_RDONLY)
-            self._fds[shard] = fd
-        return fd
+        # Loader workers call this from a thread pool — without the lock
+        # two threads can both open the shard and one fd leaks
+        with self._fd_lock:
+            fd = self._fds.get(shard)
+            if fd is None:
+                fd = os.open(self._shard_path(shard), os.O_RDONLY)
+                self._fds[shard] = fd
+            return fd
 
     def close(self):
         for fd in self._fds.values():

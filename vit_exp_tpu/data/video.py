@@ -249,12 +249,22 @@ class VideoTextSuperresDataset:
             candidates = sorted(
                 glob.glob(os.path.join(data_folder, "*", "*", "*.nii.gz"))
             )
+        from vit_exp_tpu.data.nifti import read_nifti_shape
+
         for nii in candidates:
             acc = os.path.basename(os.path.dirname(nii))
             if acc not in acc_to_text:
                 continue
             lowres = default_lowres_path(nii, lowres_root)
             if not os.path.exists(lowres):
+                continue
+            # slice-count gate (videotextdatasetsuperres.py:71: skip
+            # shape[-1] < 100 or > 600) — header-only read
+            try:
+                n_slices = read_nifti_shape(nii)[-1]
+            except Exception:
+                continue
+            if not (min_slices <= n_slices <= max_slices):
                 continue
             meta_path = nii.replace(".nii.gz", "") + "_metadata.json"
             metadata = {}

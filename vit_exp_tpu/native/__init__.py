@@ -171,12 +171,12 @@ def read_convert_f32(fds, offsets, nbytes, src_dtype: np.dtype,
     n = len(offsets)
     if n == 0:
         return
-    code = _DTYPE_CODES[np.dtype(src_dtype)]
+    code = _DTYPE_CODES.get(np.dtype(src_dtype))
     lib = _load()
     offs = _as_ll_array(offsets)
     sizes = _as_ll_array(nbytes)
     outs = _as_ll_array(out_elem_offsets)
-    if lib is None:
+    if lib is None or code is None:  # no g++ OR a dtype the C side lacks
         itemsize = np.dtype(src_dtype).itemsize
         for i in range(n):
             raw = os.pread(int(fds[i]), int(sizes[i]), int(offs[i]))

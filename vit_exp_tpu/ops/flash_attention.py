@@ -767,6 +767,29 @@ def flash_attention_with_lse(
     if interpret is None:
         interpret = _interpret_default()
     nkv = k.shape[2]
+    block_q, block_k, nq_pad, nkv_pad, dp = _block_plan(
+        nq, nkv, d, block_q, block_k)
+
+    out, lse = _flash_core_lse(
+        _prep4(q, nq_pad, dp), _prep4(k, nkv_pad, dp), _prep4(v, nkv_pad, dp),
+        scale, nkv, block_q, block_k, interpret,
+    )
+    out = out.reshape(b, h, nq_pad, dp)[:, :, :nq, :d]
+    lse = lse.reshape(b, h, nq_pad)[:, :, :nq]
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# public wrappers
+# ---------------------------------------------------------------------------
+
+
+def _block_plan(nq, nkv, d, block_q, block_k):
+    """Shared block selection for the public wrappers: prefer a 1152 edge
+    when it divides the sequence exactly (no q pad, no ragged kv tail —
+    1152 = 9×128 divides the production 13 824 = 24³ tokens; measured
+    17.4 vs 19.5 ms against 1024 blocks + pad on v5e), clamp to the
+    sequence, and round the head dim to the 8-sublane granule."""
     if block_q == DEFAULT_BLOCK_Q and nq % 1152 == 0:
         block_q = 1152
     if block_k == DEFAULT_BLOCK_K and nkv % 1152 == 0:
@@ -776,23 +799,13 @@ def flash_attention_with_lse(
     nq_pad = -(-nq // block_q) * block_q
     nkv_pad = -(-nkv // block_k) * block_k
     dp = max(-(-d // 8) * 8, 8)
-
-    def prep(x, n_pad):
-        x = _pad_axis(_pad_axis(x, n_pad, axis=2), dp, axis=3)
-        return x.reshape(x.shape[0] * x.shape[1], n_pad, dp)
-
-    out, lse = _flash_core_lse(
-        prep(q, nq_pad), prep(k, nkv_pad), prep(v, nkv_pad),
-        scale, nkv, block_q, block_k, interpret,
-    )
-    out = out.reshape(b, h, nq_pad, dp)[:, :, :nq, :d]
-    lse = lse.reshape(b, h, nq_pad)[:, :, :nq]
-    return out, lse
+    return block_q, block_k, nq_pad, nkv_pad, dp
 
 
-# ---------------------------------------------------------------------------
-# public wrapper
-# ---------------------------------------------------------------------------
+def _prep4(x, n_pad, dp):
+    """(b, h, n, d) → zero-padded (b·h, n_pad, dp)."""
+    x = _pad_axis(_pad_axis(x, n_pad, axis=2), dp, axis=3)
+    return x.reshape(x.shape[0] * x.shape[1], n_pad, dp)
 
 
 def flash_attention(
@@ -842,32 +855,17 @@ def flash_attention(
     n_null = 0 if null_k is None else null_k.shape[2]
     assert n_null <= NULL_PAD, f"at most {NULL_PAD} null kv supported"
 
-    # prefer a block edge that divides the sequence exactly — no q pad, no
-    # ragged kv tail mask.  1152 (9×128) divides the production 13 824
-    # (24³ tokens); measured 17.4 vs 19.5 ms with 1024 blocks + pad on v5e.
-    # (only reachable with null_strategy="init", where kv keeps its real
-    # length — concat makes nkv 13 826.)
-    if block_q == DEFAULT_BLOCK_Q and nq % 1152 == 0:
-        block_q = 1152
-    if block_k == DEFAULT_BLOCK_K and nkv % 1152 == 0:
-        block_k = 1152
-    block_q = min(block_q, max(nq, 8))
-    block_k = min(block_k, max(nkv, 8))
-    nq_pad = -(-nq // block_q) * block_q
-    nkv_pad = -(-nkv // block_k) * block_k
-    # keep the head dim unpadded when a full-dim block is legal (always, per
-    # the "equal to the respective dimension" rule); round up tiny dims to
-    # the 8-sublane granule only
-    dp = max(-(-d // 8) * 8, 8)
+    # (the 1152 edge is only reachable with null_strategy="init", where kv
+    # keeps its real length — concat makes nkv 13 826)
+    block_q, block_k, nq_pad, nkv_pad, dp = _block_plan(
+        nq, nkv, d, block_q, block_k)
 
-    def prep(x, n_pad):
-        x = _pad_axis(_pad_axis(x, n_pad, axis=2), dp, axis=3)
-        return x.reshape(x.shape[0] * x.shape[1], n_pad, dp)
-
-    qp, kp, vp = prep(q, nq_pad), prep(k, nkv_pad), prep(v, nkv_pad)
+    qp = _prep4(q, nq_pad, dp)
+    kp = _prep4(k, nkv_pad, dp)
+    vp = _prep4(v, nkv_pad, dp)
     if n_null:
-        nk = prep(null_k.astype(k.dtype), NULL_PAD)
-        nv = prep(null_v.astype(v.dtype), NULL_PAD)
+        nk = _prep4(null_k.astype(k.dtype), NULL_PAD, dp)
+        nv = _prep4(null_v.astype(v.dtype), NULL_PAD, dp)
     else:
         nk = jnp.zeros((b * h, NULL_PAD, dp), k.dtype)
         nv = jnp.zeros((b * h, NULL_PAD, dp), v.dtype)

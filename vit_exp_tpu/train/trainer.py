@@ -201,6 +201,8 @@ class CTClipTrainer:
             jax.profiler.start_trace(profile_dir)
         while self.step < total:
             if getattr(self, "_preempted", False):
+                if profile_dir:
+                    jax.profiler.stop_trace()
                 if is_main_process():
                     self.ckpt.save(self.step, self.state)
                 print(f"preempted at step {self.step}: state saved, exiting",
