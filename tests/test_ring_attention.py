@@ -198,3 +198,51 @@ def test_cosine_attention_ring_impl_with_nulls():
     for a, bb, name in zip(g_ring, g_ref, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    atol=1e-4, err_msg=f"d{name}")
+
+
+def test_ctvit3d_seq_sharded_encode():
+    """Full CTViT3D encode with seq_axis set, run under shard_map ==
+    the unsharded tower with the SAME params — value and parameter
+    gradients (tower-level sequence parallelism)."""
+    from vit_exp_tpu.core.precision import Policy
+    from vit_exp_tpu.models.ctvit3d import CTViT3D
+
+    fp32 = Policy(param_dtype=jnp.float32, compute_dtype=jnp.float32,
+                  reduce_dtype=jnp.float32)
+    kw = dict(dim=24, image_size=8, patch_size=4, temporal_size=8,
+              temporal_patch_size=4, transformer_blocks=2, dim_head=4,
+              heads=2, policy=fp32)
+    ref_model = CTViT3D(attn_impl="xla", **kw)
+    ring_model = CTViT3D(attn_impl="ring", seq_axis="seq",
+                         ring_chunk_impl="xla", **kw)
+
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(
+        rng.standard_normal((1, 1, 8, 8, 8)).astype(np.float32))
+    import flax.linen as nn
+
+    params = nn.unbox(
+        ref_model.init(jax.random.PRNGKey(0), video))["params"]
+
+    mesh = _mesh()  # 4-device ('seq',) mesh; 2·2·2 = 8 tokens → chunk 2
+    sharded = jax.jit(shard_map(
+        lambda p, v: ring_model.apply({"params": p}, v),
+        mesh=mesh, in_specs=(P(), P()), out_specs=P(),
+        check_rep=False,
+    ))
+    out_ring = sharded(params, video)
+    out_ref = ref_model.apply({"params": params}, video)
+    assert out_ring.shape == out_ref.shape == (1, 2, 2, 2, 24)
+    np.testing.assert_allclose(np.asarray(out_ring), np.asarray(out_ref),
+                               atol=3e-5)
+
+    g_ring = jax.jit(jax.grad(
+        lambda p: jnp.sum(jnp.square(sharded(p, video)))))(params)
+    g_ref = jax.grad(
+        lambda p: jnp.sum(jnp.square(ref_model.apply({"params": p},
+                                                     video))))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4),
+        g_ring, g_ref,
+    )

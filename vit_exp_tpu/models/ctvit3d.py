@@ -57,6 +57,8 @@ class CosineSelfAttention(nn.Module):
     num_null_kv: int = 2
     scale: Optional[float] = None
     attn_impl: str = "xla"
+    ring_axis: str = "seq"          # mesh axis for attn_impl="ring"
+    ring_chunk_impl: str = "pallas"
     policy: Policy = DEFAULT_POLICY
 
     @nn.compact
@@ -116,6 +118,7 @@ class CosineSelfAttention(nn.Module):
             q_scale=q_scale, k_scale=k_scale,
             scale=self.scale, mask=mask, attn_bias=attn_bias, impl=impl,
             static_max=static_max,
+            ring_axis=self.ring_axis, ring_chunk_impl=self.ring_chunk_impl,
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         return PDense(self.dim, axes=("heads", "embed"), use_bias=False,
@@ -130,6 +133,8 @@ class TransformerBlock(nn.Module):
     attn_impl: str
     ff_impl: str = "xla"  # "pallas" = fused GEGLU kernel (fwd + fused bwd)
     ff_mult: float = 4.0
+    ring_axis: str = "seq"
+    ring_chunk_impl: str = "pallas"
     policy: Policy = DEFAULT_POLICY
 
     @nn.compact
@@ -137,6 +142,7 @@ class TransformerBlock(nn.Module):
         x = x + CosineSelfAttention(
             dim=self.dim, heads=self.heads, dim_head=self.dim_head,
             scale=self.scale, attn_impl=self.attn_impl, policy=self.policy,
+            ring_axis=self.ring_axis, ring_chunk_impl=self.ring_chunk_impl,
             name="attn",
         )(x, mask=mask, attn_bias=attn_bias)
         x = x + GEGLUFeedForward(
@@ -161,6 +167,13 @@ class CTViT3D(nn.Module):
     attn_impl: str = "xla"
     ff_impl: str = "xla"
     remat: bool = False
+    # Sequence parallelism: set seq_axis (and attn_impl="ring") and run the
+    # whole apply inside shard_map with that mesh axis bound — tokens are
+    # sliced per shard after the (replicated) patch embed, the blocks run
+    # ring attention + local FF/LN, and the full token grid is re-gathered
+    # at the end.  Token count must divide the ring size.
+    seq_axis: Optional[str] = None
+    ring_chunk_impl: str = "pallas"
     policy: Policy = DEFAULT_POLICY
 
     @property
@@ -200,6 +213,17 @@ class CTViT3D(nn.Module):
         pos = sincos_pos_embed_3d_traced(self.dim, (n_t, n_h, n_w))
         x = x + pos.astype(self.policy.compute_dtype)[None]
 
+        if self.seq_axis is not None:
+            import jax
+
+            ring = jax.lax.axis_size(self.seq_axis)
+            n_tok = x.shape[1]
+            assert n_tok % ring == 0, (
+                f"{n_tok} tokens not divisible by {ring} seq shards")
+            chunk = n_tok // ring
+            idx = jax.lax.axis_index(self.seq_axis)
+            x = jax.lax.dynamic_slice_in_dim(x, idx * chunk, chunk, axis=1)
+
         block = TransformerBlock
         if self.remat:
             # save the flash-attention out+lse across the remat boundary:
@@ -214,6 +238,12 @@ class CTViT3D(nn.Module):
                 dim=self.dim, heads=self.heads, dim_head=self.dim_head,
                 scale=self.attn_scale, attn_impl=self.attn_impl,
                 ff_impl=self.ff_impl, policy=self.policy, name=f"block{i}",
+                ring_axis=self.seq_axis or "seq",
+                ring_chunk_impl=self.ring_chunk_impl,
             )(x)
         x = ScaleLayerNorm(policy=self.policy, name="norm_out")(x)
+        if self.seq_axis is not None:
+            import jax
+
+            x = jax.lax.all_gather(x, self.seq_axis, axis=1, tiled=True)
         return x.reshape(b, n_t, n_h, n_w, self.dim)
