@@ -182,3 +182,27 @@ def test_radbert_roberta_conversion_parity():
         model.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask))
     )
     np.testing.assert_allclose(ours, ref, atol=3e-4)
+
+
+def test_per_label_report(tmp_path):
+    """per_label_report == sklearn's per-label P/R/F1 on the same preds
+    (text_classifier/eval.py manual-metrics parity)."""
+    from sklearn.metrics import precision_recall_fscore_support
+
+    from vit_exp_tpu.text_classifier.trainer import per_label_report
+
+    rng = np.random.default_rng(0)
+    y_true = rng.integers(0, 2, (40, 3))
+    y_prob = np.clip(y_true + rng.normal(0, 0.4, (40, 3)), 0, 1)
+    out = str(tmp_path / "report.csv")
+    rep = per_label_report(y_prob, y_true, ["a", "b", "c"], out_csv=out)
+    p, r, f1, s = precision_recall_fscore_support(
+        y_true, (y_prob > 0.5).astype(int), zero_division=0)
+    for i, name in enumerate(["a", "b", "c"]):
+        np.testing.assert_allclose(rep[name]["precision"], p[i], atol=1e-9)
+        np.testing.assert_allclose(rep[name]["recall"], r[i], atol=1e-9)
+        np.testing.assert_allclose(rep[name]["f1"], f1[i], atol=1e-9)
+        assert rep[name]["support"] == s[i]
+    lines = open(out).read().strip().splitlines()
+    assert lines[0] == "label,precision,recall,f1,support"
+    assert len(lines) == 4

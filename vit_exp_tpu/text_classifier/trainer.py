@@ -186,3 +186,36 @@ class TextClassifierTrainer:
             return False
         self.epochs_no_improve += 1
         return self.epochs_no_improve >= self.early_stop
+
+
+def per_label_report(
+    y_pred: np.ndarray,
+    y_true: np.ndarray,
+    label_names,
+    out_csv: str = None,
+    threshold: float = 0.5,
+):
+    """Per-label precision/recall/F1/support from binarized predictions —
+    text_classifier/eval.py:29-63 (manual confusion-matrix metrics + CSV).
+    Returns {label: {precision, recall, f1, support}}."""
+    preds = (np.asarray(y_pred) > threshold).astype(np.int32)
+    truth = np.asarray(y_true).astype(np.int32)
+    report = {}
+    rows = []
+    for i, name in enumerate(label_names):
+        tp = int(((preds[:, i] == 1) & (truth[:, i] == 1)).sum())
+        fp = int(((preds[:, i] == 1) & (truth[:, i] == 0)).sum())
+        fn = int(((preds[:, i] == 0) & (truth[:, i] == 1)).sum())
+        precision = tp / (tp + fp) if tp + fp else 0.0
+        recall = tp / (tp + fn) if tp + fn else 0.0
+        f1 = (2 * precision * recall / (precision + recall)
+              if precision + recall else 0.0)
+        report[name] = {"precision": precision, "recall": recall,
+                        "f1": f1, "support": tp + fn}
+        rows.append((name, precision, recall, f1, tp + fn))
+    if out_csv:
+        with open(out_csv, "w") as f:
+            f.write("label,precision,recall,f1,support\n")
+            for name, p, r, f1v, s in rows:
+                f.write(f"{name},{p:.6f},{r:.6f},{f1v:.6f},{s}\n")
+    return report
