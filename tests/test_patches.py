@@ -4,6 +4,7 @@ import numpy as np
 import torch
 from einops import rearrange
 
+import jax
 import jax.numpy as jnp
 
 from vit_exp_tpu.ops.patches import patchify_3d, unpatchify_heads
@@ -120,3 +121,42 @@ def test_fused_patch_embed_multichannel():
         compute_dtype=jnp.float32,
     ))
     np.testing.assert_allclose(ours, oracle, atol=2e-5, rtol=1e-5)
+
+
+def test_patch_stats_pallas_matches_window():
+    """stats_impl="pallas" (per-patch Σx/Σx² on the MXU) == the reduce_window
+    stats path — fused_patch_embed values and input/kernel grads."""
+    from vit_exp_tpu.ops.patches import fused_patch_embed
+
+    rng = np.random.default_rng(0)
+    b, c, T, H, W = 2, 1, 8, 16, 16
+    pt, p1, p2 = 4, 4, 4
+    n = c * pt * p1 * p2
+    D = 12
+    video = jnp.asarray(rng.standard_normal((b, c, T, H, W)).astype(
+        np.float32))
+    gamma = jnp.asarray(1 + 0.1 * rng.standard_normal(n).astype(np.float32))
+    beta = jnp.asarray(0.1 * rng.standard_normal(n).astype(np.float32))
+    kernel = jnp.asarray(rng.standard_normal((n, D)).astype(np.float32)
+                         / np.sqrt(n))
+    bias = jnp.asarray(0.1 * rng.standard_normal(D).astype(np.float32))
+
+    kw = dict(eps=1e-5, compute_dtype=jnp.float32)
+    ref = fused_patch_embed(video, gamma, beta, kernel, bias, pt, p1, p2,
+                            stats_impl="window", **kw)
+    out = fused_patch_embed(video, gamma, beta, kernel, bias, pt, p1, p2,
+                            stats_impl="pallas", **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+    def loss(impl):
+        def f(v, k):
+            return jnp.sum(jnp.square(fused_patch_embed(
+                v, gamma, beta, k, bias, pt, p1, p2, stats_impl=impl, **kw)))
+        return f
+
+    g_ref = jax.grad(loss("window"), argnums=(0, 1))(video, kernel)
+    g_new = jax.grad(loss("pallas"), argnums=(0, 1))(video, kernel)
+    for a, r, name in zip(g_new, g_ref, ("dvideo", "dkernel")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=5e-3, rtol=5e-3, err_msg=name)

@@ -53,6 +53,95 @@ def _conv_f32_bwd(strides, dn, res, gy):
 _conv_f32.defvjp(_conv_f32_fwd, _conv_f32_bwd)
 
 
+def _stats_kernel(x_ref, mu_ref, sq_ref, *, cpt, p1, p2):
+    """Per-patch Σx and Σx² for one (c·pt, H, W) slab via block-diagonal
+    ones matmuls: the W-window sums ride the MXU (bf16 in, fp32 accum —
+    exact for Σx since the inputs are bf16 values), then cheap cpt/H
+    reductions.  One pass over the bf16 video — replaces the profiled
+    f32 materialization (3.7 ms) + strided reduce_windows (3.7 ms) of the
+    "window" stats path."""
+    x = x_ref[0]                                  # (cpt, H, W)
+    H, W = x.shape[1], x.shape[2]
+    hs, ws = H // p1, W // p2
+    n = cpt * p1 * p2
+
+    Mw = (jax.lax.broadcasted_iota(jnp.int32, (W, ws), 0) // p2
+          == jax.lax.broadcasted_iota(jnp.int32, (W, ws), 1)
+          ).astype(x.dtype)
+    xr = x.reshape(cpt * H, W)
+    xf = xr.astype(jnp.float32)
+    # x² rounds to bf16 before the sum: per-element relative error ≤ 2⁻⁸,
+    # averaging over n ≈ 4000 puts the Σx² error orders below LN tolerance
+    x2 = (xf * xf).astype(x.dtype)
+    sw = jax.lax.dot_general(
+        xr, Mw, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )                                             # (cpt·H, ws)
+    qw = jax.lax.dot_general(
+        x2, Mw, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    sw = jnp.sum(sw.reshape(cpt, H, ws), axis=0)  # (H, ws)
+    qw = jnp.sum(qw.reshape(cpt, H, ws), axis=0)
+    Mh = (jax.lax.broadcasted_iota(jnp.int32, (H, hs), 0) // p1
+          == jax.lax.broadcasted_iota(jnp.int32, (H, hs), 1)
+          ).astype(jnp.float32)
+    s = jax.lax.dot_general(
+        Mh, sw, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )                                             # (hs, ws)
+    q = jax.lax.dot_general(
+        Mh, qw, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    mu_ref[0] = s / n
+    sq_ref[0] = q
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _patch_stats_pallas(x, cpt, p1, p2, interpret):
+    """x: (bt, cpt, H, W) → (μ, Σx²) each (bt, hs, ws) fp32."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bt, _, H, W = x.shape
+    hs, ws = H // p1, W // p2
+    mu, sq = pl.pallas_call(
+        functools.partial(_stats_kernel, cpt=cpt, p1=p1, p2=p2),
+        grid=(bt,),
+        in_specs=[pl.BlockSpec((1, cpt, H, W), lambda i: (i, 0, 0, 0))],
+        out_specs=[
+            pl.BlockSpec((1, hs, ws), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, hs, ws), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bt, hs, ws), jnp.float32),
+            jax.ShapeDtypeStruct((bt, hs, ws), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(x)
+    return mu, sq
+
+
+def _patch_stats_fwd(x, cpt, p1, p2, interpret):
+    return _patch_stats_pallas(x, cpt, p1, p2, interpret), (x,)
+
+
+def _patch_stats_bwd(cpt, p1, p2, interpret, res, cts):
+    (x,) = res
+    dmu, dsq = cts
+    n = cpt * p1 * p2
+
+    def up(g):  # (bt, hs, ws) → (bt, 1, H, W) broadcast over cpt
+        g = jnp.repeat(jnp.repeat(g, p1, axis=1), p2, axis=2)
+        return g[:, None, :, :]
+
+    dx = (up(dmu) / n + 2.0 * x.astype(jnp.float32) * up(dsq)).astype(x.dtype)
+    return (dx,)
+
+
+_patch_stats_pallas.defvjp(_patch_stats_fwd, _patch_stats_bwd)
+
+
 def patchify_3d(video: jnp.ndarray, pt: int, p1: int, p2: int) -> jnp.ndarray:
     """(b, c, T, H, W) → (b, t, h, w, c*pt*p1*p2) with reference feature order."""
     b, c, T, H, W = video.shape
@@ -75,7 +164,7 @@ def fused_patch_embed(
     *,
     eps: float = 1e-5,
     compute_dtype=jnp.bfloat16,
-    stats_impl: str = "window",
+    stats_impl: str = None,
 ) -> jnp.ndarray:
     """Patchify → LayerNorm(patch) → Linear, as ONE strided conv + fixups.
 
@@ -124,7 +213,16 @@ def fused_patch_embed(
         x.shape, kc.shape, ("NCHW", "OIHW", "NHWC")
     )
 
-    if stats_impl == "window":
+    if stats_impl is None:
+        stats_impl = ("pallas" if jax.default_backend() == "tpu"
+                      else "window")
+    if stats_impl == "pallas":
+        mu_g, sq_g = _patch_stats_pallas(
+            x, c * pt, p1, p2, jax.default_backend() != "tpu")
+        mu = mu_g.astype(jnp.float32)[..., None]     # (b·t, h, w, 1)
+        sq = sq_g.astype(jnp.float32)[..., None]
+        y = _conv_f32(x, kc.astype(compute_dtype), (p1, p2), dn)
+    elif stats_impl == "window":
         # Σx / Σx² via strided reduce_window straight off x's natural
         # layout — the conv route forces an extra video-sized layout copy
         # of BOTH x and x² into the conv's preferred input layout (2×2.6 ms
