@@ -199,8 +199,12 @@ def main():
         attn_impl = "xla"
 
     config = ExperimentConfig.from_dict({"arch": arch})
+    import os
+
+    ff_impl = os.environ.get(
+        "BENCH_FF_IMPL", "pallas" if on_tpu else "xla")
     model = build_ctclip(config, bert_config=bert_cfg, attn_impl=attn_impl,
-                         ff_impl="pallas" if on_tpu else "xla")
+                         ff_impl=ff_impl)
     a = config.arch
 
     rng = np.random.default_rng(0)

@@ -224,3 +224,28 @@ def test_patch_dropout():
             {}, x, deterministic=False,
             rngs={"patch_dropout": jax.random.PRNGKey(1)})),
         np.asarray(x))
+
+
+def test_fused_geglu_ff_int8_close_to_fp():
+    """W8A8 serving FF ≈ the fp path (weight-only error ~1/255 per channel
+    + per-token activation quant); module impl='pallas_int8' wires up."""
+    from vit_exp_tpu.core.precision import Policy
+    from vit_exp_tpu.models.layers import GEGLUFeedForward
+
+    fp32 = Policy(param_dtype=jnp.float32, compute_dtype=jnp.float32,
+                  reduce_dtype=jnp.float32)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 40, 24)).astype(np.float32))
+    ref_mod = GEGLUFeedForward(dim=24, policy=fp32, impl="xla")
+    params = ref_mod.init(jax.random.PRNGKey(0), x)["params"]
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.01 * np.float32(1.0), params)
+    ref = ref_mod.apply({"params": params}, x)
+    q_mod = GEGLUFeedForward(dim=24, policy=fp32, impl="pallas_int8")
+    ours = q_mod.apply({"params": params}, x)
+    err = np.abs(np.asarray(ours) - np.asarray(ref))
+    scale = np.abs(np.asarray(ref)).max()
+    assert err.max() / scale < 0.05, err.max() / scale
+    # and well-correlated overall
+    c = np.corrcoef(np.asarray(ours).ravel(), np.asarray(ref).ravel())[0, 1]
+    assert c > 0.999

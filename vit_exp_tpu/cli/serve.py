@@ -117,6 +117,9 @@ def main(argv=None):
     parser.add_argument("--torch_ckpt", action="store_true")
     parser.add_argument("--port", type=int, default=8750)
     parser.add_argument("--vocab", default=None)
+    parser.add_argument("--int8", action="store_true",
+                        help="W8A8 feed-forward (faster serving, ~5% "
+                        "relative per-layer FF error)")
     parser.add_argument("--warmup", action=argparse.BooleanOptionalAction,
                         default=True,
                         help="compile both programs before accepting "
@@ -139,10 +142,12 @@ def main(argv=None):
     tokenizer = load_tokenizer(args.vocab)
     bert_cfg = BertConfig(vocab_size=tokenizer.vocab_size)
     on_tpu = jax.default_backend() == "tpu"
+    ff_impl = "xla" if not on_tpu else (
+        "pallas_int8" if args.int8 else "pallas")
     model = build_ctclip(
         config, bert_config=bert_cfg,
         attn_impl="pallas_static" if on_tpu else "xla",
-        ff_impl="pallas" if on_tpu else "xla",
+        ff_impl=ff_impl,
     )
     a = config.arch
     expect_shape = (a.temporal_size, a.image_size, a.image_size)

@@ -175,8 +175,9 @@ class GEGLUFeedForward(nn.Module):
     @nn.compact
     def __call__(self, x):
         inner = int(self.mult * (2.0 / 3.0) * self.dim)
-        if self.impl == "pallas":
-            from vit_exp_tpu.ops.geglu_ff import fused_geglu_ff
+        if self.impl in ("pallas", "pallas_int8"):
+            from vit_exp_tpu.ops.geglu_ff import (fused_geglu_ff,
+                                                  fused_geglu_ff_int8)
 
             gamma, beta = LNParams(self.dim, policy=self.policy,
                                    name="norm")()
@@ -184,7 +185,9 @@ class GEGLUFeedForward(nn.Module):
                              use_bias=False, policy=self.policy, name="wi")()
             w2 = DenseParams(inner, self.dim, axes=("mlp", "embed"),
                              use_bias=False, policy=self.policy, name="wo")()
-            return fused_geglu_ff(
+            fn = (fused_geglu_ff_int8 if self.impl == "pallas_int8"
+                  else fused_geglu_ff)
+            return fn(
                 x.astype(self.policy.compute_dtype), gamma, beta, w1, w2
             )
         x = BiasLayerNorm(policy=self.policy, name="norm")(x)

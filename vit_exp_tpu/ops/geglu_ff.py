@@ -310,3 +310,109 @@ def fused_geglu_ff(
     x2 = x.reshape(-1, D)
     out = _ff_core(x2, gamma, beta, w1, w2, eps, block_m, interpret)
     return out.reshape(orig_shape)
+
+
+# ---------------------------------------------------------------------------
+# int8 serving path (weight + dynamic per-token activation quantization)
+# ---------------------------------------------------------------------------
+
+
+def quantize_per_channel(w: jnp.ndarray):
+    """Symmetric per-output-channel int8: w ≈ w_q · scale[None, :]."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    wq = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127
+                  ).astype(jnp.int8)
+    return wq, scale
+
+
+def _quant_rows(y):
+    """fp32 (m, n) → (int8 rows, per-row scale (m, 1))."""
+    amax = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _ff_int8_kernel(x_ref, mu_ref, inv_ref, g_ref, b_ref, w1_ref, s1_ref,
+                    w2_ref, s2_ref, o_ref, *, inner):
+    """W8A8 GEGLU-FF: both matmuls run int8×int8→int32 on the MXU (2× the
+    bf16 rate on v5e); activations quantize per token row in VMEM.  LN γ
+    applies to the activation (per-input-dim — it cannot fold into the
+    per-output-channel weight scales)."""
+    xn = (x_ref[...].astype(jnp.float32) - mu_ref[...]) * inv_ref[...]
+    y = xn * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    yq, ys = _quant_rows(y)
+    acc = jax.lax.dot_general(
+        yq, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    h = acc * ys * s1_ref[...]
+    val = h[:, :inner]
+    gate = h[:, inner:]
+    gelu = 0.5 * gate * (1.0 + _erf(gate * (2.0 ** -0.5)))
+    act = gelu * val
+    aq, as_ = _quant_rows(act)
+    acc2 = jax.lax.dot_general(
+        aq, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    o_ref[...] = (acc2 * as_ * s2_ref[...]).astype(o_ref.dtype)
+
+
+def fused_geglu_ff_int8(
+    x: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    w1: jnp.ndarray,
+    w2: jnp.ndarray,
+    *,
+    eps: float = 1e-5,
+    block_m: int = DEFAULT_BLOCK_M,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Serving-only W8A8 variant of fused_geglu_ff (no VJP): weights are
+    per-channel int8 (quantized per dispatch — cheap and checkpoint-layout
+    preserving), activations per-token int8."""
+    if interpret is None:
+        interpret = _interpret_default()
+    orig_shape = x.shape
+    D = x.shape[-1]
+    I2 = w1.shape[1]
+    inner = I2 // 2
+    x2 = x.reshape(-1, D)
+    M = x2.shape[0]
+    mu, inv = _ln_stats(x2, eps)
+
+    w1q, s1 = quantize_per_channel(w1)
+    w2q, s2 = quantize_per_channel(w2)
+    g2 = gamma.astype(jnp.float32)[None, :]
+    b2 = beta.astype(jnp.float32)[None, :]
+
+    pad_m = -(-M // block_m) * block_m
+    xp = _pad_rows(x2, pad_m)
+    mup = _pad_rows(mu, pad_m)
+    invp = _pad_rows(inv, pad_m, value=1.0)
+
+    out = pl.pallas_call(
+        functools.partial(_ff_int8_kernel, inner=inner),
+        grid=(pad_m // block_m,),
+        in_specs=[
+            pl.BlockSpec((block_m, D), lambda i: (i, 0)),
+            pl.BlockSpec((block_m, 1), lambda i: (i, 0)),
+            pl.BlockSpec((block_m, 1), lambda i: (i, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+            pl.BlockSpec((D, I2), lambda i: (0, 0)),
+            pl.BlockSpec((1, I2), lambda i: (0, 0)),
+            pl.BlockSpec((inner, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_m, D), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((pad_m, D), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(xp, mup, invp, g2, b2, w1q, s1[None, :], w2q, s2[None, :])
+    return out[:M].reshape(orig_shape)
