@@ -187,7 +187,10 @@ def main():
         }
         bert_cfg = BertConfig()
         batch, text_len, iters = 4, 512, 5
-        attn_impl = "pallas_static"  # inference: bounded-logit kernel
+        import os as _os
+
+        # BENCH_ATTN_IMPL=pallas_static_int8 → W8A8 serving attention
+        attn_impl = _os.environ.get("BENCH_ATTN_IMPL", "pallas_static")
     else:  # CPU smoke mode for development only
         arch = {
             "dim": 48, "image_size": 32, "patch_size": 8,

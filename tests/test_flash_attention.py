@@ -215,3 +215,37 @@ def test_static_max_grad_parity():
     go = jax.grad(loss_online, argnums=(0, 1, 2, 3, 4))(q, k, v, nk, nv)
     for a, b in zip(gs, go):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+def test_static_int8_close_to_fp():
+    """W8A8 static-max serving forward ≈ the xla cosine attention (per-row
+    q/k int8, fixed-scale p ∈ (0,1] int8, per-channel v int8, int32 PV
+    accumulate), including null kv."""
+    from vit_exp_tpu.ops.attention import cosine_attention
+
+    rng = np.random.default_rng(21)
+    b, h, n, d = 1, 2, 64, 8
+    q, k, v = [
+        jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
+        for _ in range(3)
+    ]
+    null_k = jnp.asarray(rng.standard_normal((h, 2, d)).astype(np.float32))
+    null_v = jnp.asarray(rng.standard_normal((h, 2, d)).astype(np.float32))
+    q_scale = jnp.asarray(
+        (1 + 0.1 * rng.standard_normal(d)).astype(np.float32))
+    k_scale = jnp.asarray(
+        (1 + 0.1 * rng.standard_normal(d)).astype(np.float32))
+
+    # the int8 path requires the production SDPA scale convention
+    # (scale=None → 1/√d): with scale=8 the bounded-logit gap exceeds the
+    # int8 p-grid's dynamic range (see _fwd_kernel_static_int8 docstring)
+    kw = dict(null_k=null_k, null_v=null_v, q_scale=q_scale,
+              k_scale=k_scale, scale=None)
+    ref = cosine_attention(q, k, v, impl="xla", **kw)
+    out = cosine_attention(q, k, v, impl="pallas", static_max=True,
+                           quantized=True, **kw)
+    ref_np, out_np = np.asarray(ref), np.asarray(out)
+    scale = np.abs(ref_np).max()
+    assert np.abs(out_np - ref_np).max() / scale < 0.06
+    c = np.corrcoef(out_np.ravel(), ref_np.ravel())[0, 1]
+    assert c > 0.998, c

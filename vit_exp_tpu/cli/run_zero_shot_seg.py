@@ -46,8 +46,10 @@ def main(argv=None):
                  else "xla")  # inference-only static-max kernel
     ff_impl = "pallas" if attn_impl == "pallas_static" else "xla"
     if args.int8:
-        ff_impl = "pallas_int8"  # W8A8 FF: ~27% faster FF, ~5%
-        # relative per-layer output error (serving trade-off)
+        # W8A8 serving: FF + static-max attention both run int8 on the MXU
+        ff_impl = "pallas_int8"
+        if attn_impl == "pallas_static":
+            attn_impl = "pallas_static_int8"
     model = build_ctclip(config, bert_config=bert_cfg,
                          attn_impl=attn_impl, ff_impl=ff_impl)
 

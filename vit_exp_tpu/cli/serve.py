@@ -144,10 +144,11 @@ def main(argv=None):
     on_tpu = jax.default_backend() == "tpu"
     ff_impl = "xla" if not on_tpu else (
         "pallas_int8" if args.int8 else "pallas")
+    attn_impl = "xla" if not on_tpu else (
+        "pallas_static_int8" if args.int8 else "pallas_static")
     model = build_ctclip(
         config, bert_config=bert_cfg,
-        attn_impl="pallas_static" if on_tpu else "xla",
-        ff_impl=ff_impl,
+        attn_impl=attn_impl, ff_impl=ff_impl,
     )
     a = config.arch
     expect_shape = (a.temporal_size, a.image_size, a.image_size)

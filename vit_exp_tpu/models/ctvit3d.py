@@ -106,8 +106,10 @@ class CosineSelfAttention(nn.Module):
 
         impl = self.attn_impl
         # "pallas_static": static-max kernel (logits bounded by the
-        # cosine-sim structure; differentiable — bound cotangent is 0)
-        static_max = impl == "pallas_static"
+        # cosine-sim structure; differentiable — bound cotangent is 0);
+        # "pallas_static_int8": W8A8 serving forward (no VJP)
+        static_max = impl in ("pallas_static", "pallas_static_int8")
+        quantized = impl == "pallas_static_int8"
         if static_max:
             impl = "pallas"
         if attn_bias is not None and impl == "pallas":
@@ -117,7 +119,7 @@ class CosineSelfAttention(nn.Module):
             null_k=null_k, null_v=null_v,
             q_scale=q_scale, k_scale=k_scale,
             scale=self.scale, mask=mask, attn_bias=attn_bias, impl=impl,
-            static_max=static_max,
+            static_max=static_max, quantized=quantized,
             ring_axis=self.ring_axis, ring_chunk_impl=self.ring_chunk_impl,
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)

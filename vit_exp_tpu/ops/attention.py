@@ -63,6 +63,7 @@ def cosine_attention(
     attn_bias: Optional[jnp.ndarray] = None,
     impl: str = "xla",
     static_max: bool = False,
+    quantized: bool = False,
     ring_axis: str = "seq",
     ring_chunk_impl: str = "xla",
 ) -> jnp.ndarray:
@@ -128,7 +129,7 @@ def cosine_attention(
         # pick a block edge that divides it exactly (no pads/tail mask)
         return flash_attention(
             q, k, v, scale=scale, null_k=nk, null_v=nv,
-            logit_bound=logit_bound,
+            logit_bound=logit_bound, quantized=quantized,
             null_strategy="init" if static_max else "concat",
         )
     if impl == "ring":

@@ -345,6 +345,147 @@ def _flash_fwd_static(q, k, v, nk, nv, bound, scale, kv_len, block_q, block_k,
     return res[0], None
 
 
+def _fwd_kernel_static_int8(q_ref, qs_ref, k_ref, kst_ref, v_ref, vs_ref,
+                            nk_ref, nv_ref, bound_ref, o_ref, acc_ref,
+                            *, scale, kv_len, block_k, n_null, d_ones):
+    """W8A8 static-max forward (serving): QK^T and PV both run.
+
+    RANGE CONSTRAINT: p = exp(logits − B) must not underflow the int8 grid
+    (needs typical logits within ~4.8 of the bound, i.e. p·127 ≥ 1).  This
+    holds for the production SDPA convention (scale = 1/√32, logits
+    bounded by ±γ²/√d ≈ ±0.3) but NOT for the naive scale=8 convention —
+    use the bf16 static kernel there.
+
+    int8×int8→int32 on the MXU.  The static-max structure makes the
+    activation quantization exact-friendly: p = exp(logits − B) ∈ (0, 1],
+    so p quantizes at the FIXED scale 1/127 and the PV accumulator stays
+    int32 across kv blocks (max Σ 127·127·n ≈ 2.2e8 < 2³¹) — one f32
+    rescale at the end.  The softmax normalizer rides the ones column of v
+    (value 127 ↔ 1.0 at scale 1/127), as in the bf16 static kernel."""
+    ik = pl.program_id(2)
+    n_k = pl.num_programs(2)
+    bound = bound_ref[0]
+
+    @pl.when(ik == 0)
+    def _init():
+        if n_null:
+            # nulls stay fp: tiny (block_q, NULL_PAD) work, quantized only
+            # at the p/v grid so it lands in the same int32 units
+            nl = jax.lax.dot_general(
+                q_ref[0].astype(jnp.float32) * qs_ref[0],
+                nk_ref[0].astype(jnp.float32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            col = jax.lax.broadcasted_iota(jnp.int32, nl.shape, 1)
+            nl = jnp.where(col < n_null, nl, NEG_INF)
+            p0 = jnp.round(jnp.exp(nl - bound) * 127.0)
+            acc_ref[...] = jax.lax.dot_general(
+                p0.astype(jnp.int8), nv_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        else:
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    logits = (acc_s.astype(jnp.float32) * qs_ref[0] * kst_ref[0]) * scale
+    if kv_len % block_k != 0:
+        col = ik * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < kv_len, logits, NEG_INF)
+    p8 = jnp.round(jnp.exp(logits - bound) * 127.0).astype(jnp.int8)
+    acc_ref[...] += jax.lax.dot_general(
+        p8, v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(ik == n_k - 1)
+    def _finish():
+        acc = acc_ref[...].astype(jnp.float32)
+        # clamp: if EVERY p underflowed the int8 grid (exp(logits − B)
+        # < 1/254 across the row — i.e. the bound is far above the actual
+        # logits) the row is meaningless anyway; avoid NaN poison
+        l = jnp.maximum(acc[:, d_ones:d_ones + 1], 1.0)
+        out = acc[:, :o_ref.shape[-1]] * vs_ref[..., :o_ref.shape[-1]]
+        o_ref[0] = (out * 127.0 / l).astype(o_ref.dtype)
+
+
+def _row_quant(x):
+    """(bh, n, d) → per-row symmetric int8 + (bh, n, 1) f32 scales."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127
+                 ).astype(jnp.int8)
+    return q, s
+
+
+def _flash_fwd_static_int8(q, k, v, nk, nv, bound, scale, kv_len, block_q,
+                           block_k, interpret, n_null):
+    """int8 counterpart of _flash_fwd_static; returns out only (serving —
+    no lse, no VJP)."""
+    bh, nq, dp = q.shape
+    nkv = k.shape[1]
+    grid = (bh, nq // block_q, nkv // block_k)
+    dp_v = max(-(-(dp + 1) // 8) * 8, 8)
+
+    q8, qs = _row_quant(q)
+    k8, ks = _row_quant(k)
+    kst = ks.reshape(bh, 1, nkv)  # transposed for the (1, block_k) row scale
+    # v: per-channel int8 over [v ++ null v]; the ones column sits at d_ones
+    # with value 127 (scale 1/127)
+    vall = jnp.concatenate([v, nv[:, :n_null]], axis=1) if n_null else v
+    vmax = jnp.max(jnp.abs(vall.astype(jnp.float32)), axis=(0, 1))
+    vs = jnp.maximum(vmax, 1e-8) / 127.0
+
+    def quant_aug(x):
+        x8 = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / vs), -127, 127
+        ).astype(jnp.int8)
+        ones = jnp.full((bh, x.shape[1], 1), 127, jnp.int8)
+        return _pad_axis(jnp.concatenate([x8, ones], axis=-1), dp_v, axis=2)
+
+    vs_row = _pad_axis(vs.reshape(1, dp), dp_v, axis=1)
+
+    inputs = [
+        q8, qs, k8, kst, quant_aug(v), vs_row,
+        nk.astype(jnp.float32) if n_null else jnp.zeros(
+            (bh, NULL_PAD, dp), jnp.float32),
+        quant_aug(nv) if n_null else jnp.zeros(
+            (bh, NULL_PAD, dp_v), jnp.int8),
+        jnp.reshape(bound.astype(jnp.float32), (1,)),
+    ]
+    in_specs = [
+        pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, block_k, dp), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b, 0, j)),
+        pl.BlockSpec((1, block_k, dp_v), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, dp_v), lambda b, i, j: (0, 0)),
+        pl.BlockSpec((1, NULL_PAD, dp), lambda b, i, j: (b, 0, 0)),
+        pl.BlockSpec((1, NULL_PAD, dp_v), lambda b, i, j: (b, 0, 0)),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    out = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_static_int8, scale=scale, kv_len=kv_len,
+            block_k=block_k, n_null=n_null, d_ones=dp,
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, nq, dp), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((block_q, dp_v), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # backward
 # ---------------------------------------------------------------------------
@@ -822,6 +963,7 @@ def flash_attention(
     null_strategy: str = "concat",
     fast_softmax: bool = False,
     logit_bound: Optional[jnp.ndarray] = None,
+    quantized: bool = False,
 ) -> jnp.ndarray:
     """softmax over [null_kv ++ kv] of (q k^T * scale), weighted sum of v.
 
@@ -870,7 +1012,13 @@ def flash_attention(
         nk = jnp.zeros((b * h, NULL_PAD, dp), k.dtype)
         nv = jnp.zeros((b * h, NULL_PAD, dp), v.dtype)
 
-    if logit_bound is not None:
+    if logit_bound is not None and quantized:
+        # W8A8 serving forward (no VJP) — requires the logit bound
+        out = _flash_fwd_static_int8(
+            qp, kp, vp, nk, nv, logit_bound, scale, nkv, block_q, block_k,
+            interpret, n_null,
+        )
+    elif logit_bound is not None:
         out = _flash_core_static(
             qp, kp, vp, nk, nv, logit_bound, scale, nkv, n_null,
             block_q, block_k, interpret,
