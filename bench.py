@@ -207,7 +207,7 @@ def main():
     ff_impl = os.environ.get(
         "BENCH_FF_IMPL", "pallas" if on_tpu else "xla")
     model = build_ctclip(config, bert_config=bert_cfg, attn_impl=attn_impl,
-                         ff_impl=ff_impl)
+                         ff_impl=ff_impl, fuse_qkv=on_tpu)
     a = config.arch
 
     rng = np.random.default_rng(0)

@@ -249,3 +249,64 @@ def test_fused_geglu_ff_int8_close_to_fp():
     # and well-correlated overall
     c = np.corrcoef(np.asarray(ours).ravel(), np.asarray(ref).ravel())[0, 1]
     assert c > 0.999
+
+
+def test_fused_ln_qkv_matches_unfused():
+    """ops/fused_proj: LN→[q|kv] fused kernel == ScaleLayerNorm + two
+    PDense matmuls — values and grads (dx, dγ, dWq, dWkv)."""
+    from vit_exp_tpu.ops.fused_proj import fused_ln_qkv
+
+    rng = np.random.default_rng(13)
+    M, D, Fq, Fkv = 37, 24, 8, 16
+    x = jnp.asarray(rng.standard_normal((2, M, D)).astype(np.float32))
+    gamma = jnp.asarray(
+        (1 + 0.1 * rng.standard_normal(D)).astype(np.float32))
+    wq = jnp.asarray(rng.standard_normal((D, Fq)).astype(np.float32)
+                     / np.sqrt(D))
+    wkv = jnp.asarray(rng.standard_normal((D, Fkv)).astype(np.float32)
+                      / np.sqrt(D))
+    cq = jnp.asarray(rng.standard_normal((2, M, Fq)).astype(np.float32))
+    ckv = jnp.asarray(rng.standard_normal((2, M, Fkv)).astype(np.float32))
+
+    def ref(x, gamma, wq, wkv):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+        y = (x - mu) * jax.lax.rsqrt(var + 1e-5) * gamma
+        return jnp.vdot(y @ wq, cq) + jnp.vdot(y @ wkv, ckv)
+
+    def ours(x, gamma, wq, wkv):
+        q, kv = fused_ln_qkv(x, gamma, wq, wkv, block_m=16)
+        return jnp.vdot(q, cq) + jnp.vdot(kv, ckv)
+
+    np.testing.assert_allclose(
+        np.asarray(ours(x, gamma, wq, wkv)),
+        np.asarray(ref(x, gamma, wq, wkv)), rtol=2e-5)
+    g_ref = jax.grad(ref, argnums=(0, 1, 2, 3))(x, gamma, wq, wkv)
+    g_ours = jax.grad(ours, argnums=(0, 1, 2, 3))(x, gamma, wq, wkv)
+    for a, r, name in zip(g_ours, g_ref, ("dx", "dgamma", "dwq", "dwkv")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-4, rtol=2e-4, err_msg=name)
+
+
+def test_cosine_attention_module_fused_proj_parity():
+    """CosineSelfAttention with a pallas impl (fused LN+qkv prologue) ==
+    the xla impl with the same params."""
+    from vit_exp_tpu.core.precision import Policy
+    from vit_exp_tpu.models.ctvit3d import CosineSelfAttention
+
+    fp32 = Policy(param_dtype=jnp.float32, compute_dtype=jnp.float32,
+                  reduce_dtype=jnp.float32)
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.standard_normal((1, 32, 16)).astype(np.float32))
+    ref_mod = CosineSelfAttention(dim=16, heads=2, dim_head=8,
+                                  attn_impl="xla", policy=fp32)
+    params = ref_mod.init(jax.random.PRNGKey(0), x)["params"]
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.01 * np.float32(1.0), params)
+    ref = ref_mod.apply({"params": params}, x)
+    fused_mod = CosineSelfAttention(dim=16, heads=2, dim_head=8,
+                                    attn_impl="pallas", fuse_qkv=True,
+                                    policy=fp32)
+    ours = fused_mod.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)

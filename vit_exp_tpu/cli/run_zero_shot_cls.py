@@ -88,7 +88,8 @@ def main(argv=None):
         if attn_impl == "pallas_static":
             attn_impl = "pallas_static_int8"
     model = build_ctclip(config, bert_config=bert_cfg,
-                         attn_impl=attn_impl, ff_impl=ff_impl)
+                         attn_impl=attn_impl, ff_impl=ff_impl,
+                         fuse_qkv=attn_impl != "xla")
 
     if args.synthetic:
         from vit_exp_tpu.data.synthetic import SyntheticInferenceDataset

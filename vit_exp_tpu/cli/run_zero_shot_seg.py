@@ -51,7 +51,8 @@ def main(argv=None):
         if attn_impl == "pallas_static":
             attn_impl = "pallas_static_int8"
     model = build_ctclip(config, bert_config=bert_cfg,
-                         attn_impl=attn_impl, ff_impl=ff_impl)
+                         attn_impl=attn_impl, ff_impl=ff_impl,
+                         fuse_qkv=attn_impl != "xla")
 
     a = config.arch
     video0 = jnp.zeros((1, a.channels, a.temporal_size, a.image_size,

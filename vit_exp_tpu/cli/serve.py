@@ -148,7 +148,7 @@ def main(argv=None):
         "pallas_static_int8" if args.int8 else "pallas_static")
     model = build_ctclip(
         config, bert_config=bert_cfg,
-        attn_impl=attn_impl, ff_impl=ff_impl,
+        attn_impl=attn_impl, ff_impl=ff_impl, fuse_qkv=on_tpu,
     )
     a = config.arch
     expect_shape = (a.temporal_size, a.image_size, a.image_size)

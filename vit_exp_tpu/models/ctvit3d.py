@@ -57,6 +57,10 @@ class CosineSelfAttention(nn.Module):
     num_null_kv: int = 2
     scale: Optional[float] = None
     attn_impl: str = "xla"
+    # inference-only: fuse LN+q/kv projections into one Pallas kernel.
+    # Training keeps the unfused path — XLA's big-K dW matmuls beat the
+    # kernel's serial accumulator backward (1.56 vs 1.50 steps/s measured)
+    fuse_qkv: bool = False
     ring_axis: str = "seq"          # mesh axis for attn_impl="ring"
     ring_chunk_impl: str = "pallas"
     policy: Policy = DEFAULT_POLICY
@@ -65,16 +69,39 @@ class CosineSelfAttention(nn.Module):
     def __call__(self, x, mask=None, context=None, attn_bias=None):
         b, n, _ = x.shape
         inner = self.heads * self.dim_head
-        x = ScaleLayerNorm(policy=self.policy, name="norm")(x)
-        kv_input = x
-        if context is not None:
-            # cross-attention variant (attention.py:142-146 context norm)
-            kv_input = ScaleLayerNorm(policy=self.policy,
-                                      name="context_norm")(context)
-        q = PDense(inner, axes=("embed", "heads"), use_bias=False,
-                   policy=self.policy, name="to_q")(x)
-        kv = PDense(inner * 2, axes=("embed", "heads"), use_bias=False,
-                    policy=self.policy, name="to_kv")(kv_input)
+        fuse_proj = (self.fuse_qkv and context is None
+                     and attn_bias is None
+                     and self.attn_impl in ("pallas", "pallas_static",
+                                            "pallas_static_int8"))
+        if fuse_proj:
+            # ScaleLayerNorm + to_q + to_kv as ONE kernel (ops/fused_proj):
+            # γ folds into the weights, the two narrow matmuls become one
+            # (768, 768) six-tile matmul, the LN output never hits HBM.
+            # Param tree identical to the unfused path.
+            from vit_exp_tpu.models.layers import ScaleLNParams
+            from vit_exp_tpu.ops.fused_proj import fused_ln_qkv
+
+            gamma_ln = ScaleLNParams(x.shape[-1], policy=self.policy,
+                                     name="norm")()
+            wq = DenseParams(x.shape[-1], inner, axes=("embed", "heads"),
+                             use_bias=False, policy=self.policy,
+                             name="to_q")()
+            wkv = DenseParams(x.shape[-1], inner * 2,
+                              axes=("embed", "heads"), use_bias=False,
+                              policy=self.policy, name="to_kv")()
+            q, kv = fused_ln_qkv(
+                x.astype(self.policy.compute_dtype), gamma_ln, wq, wkv)
+        else:
+            x = ScaleLayerNorm(policy=self.policy, name="norm")(x)
+            kv_input = x
+            if context is not None:
+                # cross-attention variant (attention.py:142-146 context norm)
+                kv_input = ScaleLayerNorm(policy=self.policy,
+                                          name="context_norm")(context)
+            q = PDense(inner, axes=("embed", "heads"), use_bias=False,
+                       policy=self.policy, name="to_q")(x)
+            kv = PDense(inner * 2, axes=("embed", "heads"), use_bias=False,
+                        policy=self.policy, name="to_kv")(kv_input)
         k, v = jnp.split(kv, 2, axis=-1)
 
         def heads_first(t):
@@ -135,6 +162,7 @@ class TransformerBlock(nn.Module):
     attn_impl: str
     ff_impl: str = "xla"  # "pallas" = fused GEGLU kernel (fwd + fused bwd)
     ff_mult: float = 4.0
+    fuse_qkv: bool = False
     ring_axis: str = "seq"
     ring_chunk_impl: str = "pallas"
     policy: Policy = DEFAULT_POLICY
@@ -144,6 +172,7 @@ class TransformerBlock(nn.Module):
         x = x + CosineSelfAttention(
             dim=self.dim, heads=self.heads, dim_head=self.dim_head,
             scale=self.scale, attn_impl=self.attn_impl, policy=self.policy,
+            fuse_qkv=self.fuse_qkv,
             ring_axis=self.ring_axis, ring_chunk_impl=self.ring_chunk_impl,
             name="attn",
         )(x, mask=mask, attn_bias=attn_bias)
@@ -168,6 +197,7 @@ class CTViT3D(nn.Module):
     attn_scale: Optional[float] = None
     attn_impl: str = "xla"
     ff_impl: str = "xla"
+    fuse_qkv: bool = False   # inference-only fused LN+q/kv prologue
     remat: bool = False
     # Sequence parallelism: set seq_axis (and attn_impl="ring") and run the
     # whole apply inside shard_map with that mesh axis bound — tokens are
@@ -240,6 +270,7 @@ class CTViT3D(nn.Module):
                 dim=self.dim, heads=self.heads, dim_head=self.dim_head,
                 scale=self.attn_scale, attn_impl=self.attn_impl,
                 ff_impl=self.ff_impl, policy=self.policy, name=f"block{i}",
+                fuse_qkv=self.fuse_qkv,
                 ring_axis=self.seq_axis or "seq",
                 ring_chunk_impl=self.ring_chunk_impl,
             )(x)

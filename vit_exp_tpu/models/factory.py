@@ -17,7 +17,8 @@ from vit_exp_tpu.models.ctvit3d import CTViT3D
 
 def build_image_encoder(
     arch: ArchConfig, *, attn_impl: str = "xla", ff_impl: str = "xla",
-    remat: bool = False, policy: Policy = DEFAULT_POLICY,
+    remat: bool = False, fuse_qkv: bool = False,
+    policy: Policy = DEFAULT_POLICY,
 ) -> CTViT3D:
     assert arch.arch_name in ("ctvit_3d", "ctvit3d", "ct_vit_3d"), arch.arch_name
     return CTViT3D(
@@ -35,6 +36,7 @@ def build_image_encoder(
         attn_scale=None if arch.use_flash_attention else 8.0,
         attn_impl=attn_impl,
         ff_impl=ff_impl,
+        fuse_qkv=fuse_qkv,
         remat=remat,
         policy=policy,
     )
@@ -47,12 +49,13 @@ def build_ctclip(
     attn_impl: str = "xla",
     ff_impl: str = "xla",
     remat: bool = False,
+    fuse_qkv: bool = False,
     policy: Policy = DEFAULT_POLICY,
     dim_latent: Optional[int] = None,
 ) -> CTCLIP:
     visual = build_image_encoder(
         config.arch, attn_impl=attn_impl, ff_impl=ff_impl, remat=remat,
-        policy=policy,
+        fuse_qkv=fuse_qkv, policy=policy,
     )
     bert_config = bert_config or BertConfig()
     # reference fixes dims 768/768/768 (run_train.py:143-154); tests shrink

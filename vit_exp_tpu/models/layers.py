@@ -136,6 +136,21 @@ class LNParams(nn.Module):
         return gamma, beta
 
 
+class ScaleLNParams(nn.Module):
+    """Declares ScaleLayerNorm's exact param (gamma) for fused kernels."""
+
+    dim: int
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "gamma",
+            _logical_init(nn.initializers.ones_init(), ("embed",)),
+            (self.dim,), self.policy.param_dtype,
+        )
+
+
 class DenseParams(nn.Module):
     """Declares PDense's exact params (kernel[, bias]) for fused kernels."""
 

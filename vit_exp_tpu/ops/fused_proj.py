@@ -1,0 +1,184 @@
+"""Fused ScaleLayerNorm → combined q/kv projection (Pallas).
+
+The attention prologue in CTViT3D is LN(γ-only) → to_q (768→256) →
+to_kv (768→512) (ctvit3d.py:66-78).  Run separately, XLA materializes the
+LN output (85 MB bf16/layer at production shape) and the two narrow
+matmuls tile poorly (~27% MFU measured).  Here:
+- the LN scale γ folds into the weights (no shift: ScaleLayerNorm has no
+  β), exactly like ops/geglu_ff.py's folding;
+- Wq and Wkv concatenate into ONE (768, 768) matmul — six full 128-lane
+  output tiles;
+- LN statistics (μ, 1/σ) come from XLA (they fuse into the producing
+  residual add).
+
+Differentiable: the custom VJP mirrors the GEGLU-FF backward minus the
+nonlinearity — recompute y, dW = yᵀ@dy, dγ from the unfolded form, dx via
+the LN backward; dW accumulates in fp32 VMEM scratch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vit_exp_tpu.ops.geglu_ff import (DEFAULT_BLOCK_M, _interpret_default,
+                                      _ln_stats, _pad_rows)
+
+
+def _fwd_kernel(x_ref, mu_ref, inv_ref, w_ref, o_ref):
+    xn = (x_ref[...].astype(jnp.float32) - mu_ref[...]) * inv_ref[...]
+    o_ref[...] = jax.lax.dot_general(
+        xn.astype(w_ref.dtype), w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _fwd_impl(x2, mu, inv, wf, block_m, interpret):
+    M, D = x2.shape
+    F = wf.shape[1]
+    pad_m = -(-M // block_m) * block_m
+    out = pl.pallas_call(
+        _fwd_kernel,
+        grid=(pad_m // block_m,),
+        in_specs=[
+            pl.BlockSpec((block_m, D), lambda i: (i, 0)),
+            pl.BlockSpec((block_m, 1), lambda i: (i, 0)),
+            pl.BlockSpec((block_m, 1), lambda i: (i, 0)),
+            pl.BlockSpec((D, F), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_m, F), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((pad_m, F), x2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(_pad_rows(x2, pad_m), _pad_rows(mu, pad_m),
+      _pad_rows(inv, pad_m, value=1.0), wf)
+    return out[:M]
+
+
+def _bwd_kernel(x_ref, mu_ref, inv_ref, g_ref, w_ref, do_ref,
+                dx_ref, dw_ref, dg_ref, dwa, dga):
+    i = pl.program_id(0)
+    n_i = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _zero():
+        dwa[...] = jnp.zeros_like(dwa)
+        dga[...] = jnp.zeros_like(dga)
+
+    gamma = g_ref[...].astype(jnp.float32)       # (1, D)
+    xn = (x_ref[...].astype(jnp.float32) - mu_ref[...]) * inv_ref[...]
+    y = (xn * gamma).astype(w_ref.dtype)
+    do = do_ref[...]
+    dwa[...] += jax.lax.dot_general(
+        y, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dy = jax.lax.dot_general(
+        do, w_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dga[...] += jnp.sum(dy * xn, axis=0, keepdims=True)
+    dxn = dy * gamma
+    m1 = jnp.mean(dxn, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxn * xn, axis=-1, keepdims=True)
+    dx_ref[...] = (inv_ref[...] * (dxn - m1 - xn * m2)).astype(dx_ref.dtype)
+
+    @pl.when(i == n_i - 1)
+    def _flush():
+        dw_ref[...] = dwa[...]
+        dg_ref[...] = dga[...]
+
+
+def _bwd_impl(x2, mu, inv, gamma, w, dout, block_m, interpret):
+    M, D = x2.shape
+    F = w.shape[1]
+    cdt = x2.dtype
+    pad_m = -(-M // block_m) * block_m
+    dx, dw, dg = pl.pallas_call(
+        _bwd_kernel,
+        grid=(pad_m // block_m,),
+        in_specs=[
+            pl.BlockSpec((block_m, D), lambda i: (i, 0)),
+            pl.BlockSpec((block_m, 1), lambda i: (i, 0)),
+            pl.BlockSpec((block_m, 1), lambda i: (i, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+            pl.BlockSpec((D, F), lambda i: (0, 0)),
+            pl.BlockSpec((block_m, F), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_m, D), lambda i: (i, 0)),
+            pl.BlockSpec((D, F), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((pad_m, D), x2.dtype),
+            jax.ShapeDtypeStruct((D, F), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((D, F), jnp.float32),
+            pltpu.VMEM((1, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(_pad_rows(x2, pad_m), _pad_rows(mu, pad_m),
+      _pad_rows(inv, pad_m, value=1.0),
+      gamma.astype(jnp.float32)[None, :], w.astype(cdt),
+      _pad_rows(dout.astype(cdt), pad_m))
+    return dx[:M], dw, dg[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _core(x2, gamma, wf, eps, block_m, interpret):
+    mu, inv = _ln_stats(x2, eps)
+    wq = (wf.astype(jnp.float32) * gamma.astype(jnp.float32)[:, None]
+          ).astype(x2.dtype)
+    return _fwd_impl(x2, mu, inv, wq, block_m, interpret)
+
+
+def _core_fwd(x2, gamma, wf, eps, block_m, interpret):
+    out = _core(x2, gamma, wf, eps, block_m, interpret)
+    return out, (x2, gamma, wf)
+
+
+def _core_bwd(eps, block_m, interpret, res, dout):
+    x2, gamma, wf = res
+    mu, inv = _ln_stats(x2, eps)
+    dx, dw, dg = _bwd_impl(x2, mu, inv, gamma, wf, dout, block_m, interpret)
+    return dx.astype(x2.dtype), dg.astype(gamma.dtype), dw.astype(wf.dtype)
+
+
+_core.defvjp(_core_fwd, _core_bwd)
+
+
+def fused_ln_qkv(
+    x: jnp.ndarray,
+    gamma: jnp.ndarray,
+    wq: jnp.ndarray,
+    wkv: jnp.ndarray,
+    *,
+    eps: float = 1e-5,
+    block_m: int = DEFAULT_BLOCK_M,
+    interpret: bool | None = None,
+):
+    """ScaleLayerNorm(γ) → [x@Wq | x@Wkv] in one kernel.
+
+    x: (..., M, D); wq: (D, Fq); wkv: (D, Fkv).
+    Returns (q (..., M, Fq), kv (..., M, Fkv)) in x.dtype."""
+    if interpret is None:
+        interpret = _interpret_default()
+    orig = x.shape
+    D = x.shape[-1]
+    Fq = wq.shape[1]
+    wf = jnp.concatenate([wq, wkv], axis=1)
+    out = _core(x.reshape(-1, D), gamma, wf, eps, block_m, interpret)
+    out = out.reshape(orig[:-1] + (out.shape[-1],))
+    return out[..., :Fq], out[..., Fq:]
