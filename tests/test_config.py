@@ -133,3 +133,19 @@ def test_all_shipped_configs_load():
     assert fusion.ct_clip_arch.fix_text_encoder
     seg = load_config(os.path.join(root, "ct_clip_vit_seg.yaml"))
     assert seg.ct_clip_arch.use_seg
+
+
+def test_top_level_api_exports():
+    """Reference-style top-level names resolve lazily from the package."""
+    import vit_exp_tpu
+
+    for name in ("CTCLIP", "CTViT3D", "CTViT", "MaskGITTransformer",
+                 "build_ctclip", "CTClipTrainer", "ZeroShotClassifier",
+                 "load_config"):
+        assert getattr(vit_exp_tpu, name) is not None
+    assert "CTCLIP" in dir(vit_exp_tpu)
+    try:
+        vit_exp_tpu.not_a_thing
+        assert False
+    except AttributeError:
+        pass

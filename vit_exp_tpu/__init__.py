@@ -18,3 +18,35 @@ Layer map (mirrors SURVEY.md §7 build plan):
 """
 
 __version__ = "0.1.0"
+
+# Reference-style top-level API (`from ct_clip import CTCLIP`,
+# `from transformer_maskgit import CTViT3D, ...` →
+# `from vit_exp_tpu import CTCLIP, CTViT3D, ...`), lazily resolved so
+# importing the package stays light (no jax/flax import cost until used).
+_EXPORTS = {
+    "CTCLIP": "vit_exp_tpu.models.ctclip",
+    "CTViT3D": "vit_exp_tpu.models.ctvit3d",
+    "CTViT": "vit_exp_tpu.models.ctvit",
+    "MaskGit": "vit_exp_tpu.models.maskgit",
+    "MaskGITTransformer": "vit_exp_tpu.models.maskgit_pipeline",
+    "build_ctclip": "vit_exp_tpu.models.factory",
+    "build_image_encoder": "vit_exp_tpu.models.factory",
+    "CTClipTrainer": "vit_exp_tpu.train.trainer",
+    "CTViTTrainer": "vit_exp_tpu.train.ctvit_trainer",
+    "ZeroShotClassifier": "vit_exp_tpu.eval.zero_shot",
+    "ZeroShotSegmenter": "vit_exp_tpu.eval.zero_shot",
+    "load_config": "vit_exp_tpu.core.config",
+    "ExperimentConfig": "vit_exp_tpu.core.config",
+}
+
+
+def __getattr__(name):
+    if name in _EXPORTS:
+        import importlib
+
+        return getattr(importlib.import_module(_EXPORTS[name]), name)
+    raise AttributeError(f"module 'vit_exp_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_EXPORTS))
