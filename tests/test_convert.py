@@ -2,9 +2,21 @@
 CTCLIP forward (built from the specs verified piecewise in the other tests)
 is run against our flax model loaded via convert_ctclip_state_dict from the
 oracle's own state_dict.  This is the end-to-end analogue of the reference's
-two-implementation comparison methodology (demo_tests, SURVEY.md §4.1)."""
+two-implementation comparison methodology (demo_tests, SURVEY.md §4.1).
 
+Three shapes run (VERDICT round-1 item 3):
+- toy cube (fast, every PR);
+- NON-CUBIC grid (t=4, h=w=2): catches the posemb meshgrid-'xy' buffer
+  reinterpretation (ctvit3d.py:121-169) that only coincidentally matches
+  naive ordering on cubes;
+- PRODUCTION shape (dim 768 / 8 blocks / 24³ tokens / d_head 32, marked
+  slow): catches stride/layout bugs invisible at toy dims.  The torch
+  oracle chunks its attention over query blocks to stay in RAM.
+"""
+
+import dataclasses
 import math
+import os
 
 import numpy as np
 import pytest
@@ -25,60 +37,92 @@ from vit_exp_tpu.ops.posemb import sincos_pos_embed_3d
 
 transformers = pytest.importorskip("transformers")
 
-DIM, HEADS, DH, BLOCKS = 24, 2, 4, 2
-IMG, P, T, PT = 8, 4, 8, 4
-GRID = (T // PT, IMG // P, IMG // P)
-N_NULL = 2
+
+@dataclasses.dataclass(frozen=True)
+class Spec:
+    dim: int = 24
+    heads: int = 2
+    dh: int = 4
+    blocks: int = 2
+    img: int = 8
+    p: int = 4
+    t: int = 8
+    pt: int = 4
+    n_null: int = 2
+    vocab: int = 97
+    atol: float = 5e-5
+
+    @property
+    def grid(self):
+        return (self.t // self.pt, self.img // self.p, self.img // self.p)
+
+
+TOY = Spec()
+# t-grid 4 vs spatial 2×2 — posemb reinterpretation differs from raster order
+NONCUBE = Spec(t=16, pt=4, img=8, p=4, dim=24)
+# production: ct_clip_vit_open_seg_hpc_v5_1_80g.yaml arch block
+PROD = Spec(dim=768, heads=8, dh=32, blocks=8, img=480, p=20, t=240, pt=10,
+            n_null=2, atol=2e-3)
 
 
 class TorchAttn(nn.Module):
-    """Oracle of reference FlashAttention (attention.py:189-284, sdpa scale)."""
+    """Oracle of reference FlashAttention (attention.py:189-284, sdpa scale).
 
-    def __init__(self):
+    Chunked over query blocks so the (n, n_kv) logits stay bounded at
+    production shape (13824 tokens)."""
+
+    def __init__(self, s: Spec):
         super().__init__()
-        inner = HEADS * DH
-        self.norm = nn.LayerNorm(DIM, elementwise_affine=True)
+        self.s = s
+        inner = s.heads * s.dh
+        self.norm = nn.LayerNorm(s.dim, elementwise_affine=True)
         self.norm.bias.requires_grad_(False)
         with torch.no_grad():
             self.norm.bias.zero_()
         # reference LayerNorm is gamma-only; emulate via zeroed frozen bias
-        self.to_q = nn.Linear(DIM, inner, bias=False)
-        self.to_kv = nn.Linear(DIM, inner * 2, bias=False)
-        self.to_out = nn.Linear(inner, DIM, bias=False)
-        self.q_scale = nn.Parameter(torch.rand(DH) + 0.5)
-        self.k_scale = nn.Parameter(torch.rand(DH) + 0.5)
-        self.null_kv = nn.Parameter(torch.randn(HEADS, 2 * N_NULL, DH))
+        self.to_q = nn.Linear(s.dim, inner, bias=False)
+        self.to_kv = nn.Linear(s.dim, inner * 2, bias=False)
+        self.to_out = nn.Linear(inner, s.dim, bias=False)
+        self.q_scale = nn.Parameter(torch.rand(s.dh) + 0.5)
+        self.k_scale = nn.Parameter(torch.rand(s.dh) + 0.5)
+        self.null_kv = nn.Parameter(torch.randn(s.heads, 2 * s.n_null, s.dh))
 
     def forward(self, x):
+        s = self.s
         b, n, _ = x.shape
-        h = HEADS
-        xn = F.layer_norm(x, (DIM,), self.norm.weight, None)
-        q = self.to_q(xn).view(b, n, h, DH).transpose(1, 2)
+        h, dh = s.heads, s.dh
+        xn = F.layer_norm(x, (s.dim,), self.norm.weight, None)
+        q = self.to_q(xn).view(b, n, h, dh).transpose(1, 2)
         k, v = self.to_kv(xn).chunk(2, dim=-1)
-        k = k.view(b, n, h, DH).transpose(1, 2)
-        v = v.view(b, n, h, DH).transpose(1, 2)
-        nkv = self.null_kv.view(h, N_NULL, 2, DH)
+        k = k.view(b, n, h, dh).transpose(1, 2)
+        v = v.view(b, n, h, dh).transpose(1, 2)
+        nkv = self.null_kv.view(h, s.n_null, 2, dh)
         nk = nkv[:, :, 0].unsqueeze(0).expand(b, -1, -1, -1)
         nv = nkv[:, :, 1].unsqueeze(0).expand(b, -1, -1, -1)
         k = torch.cat([nk, k], dim=2)
         v = torch.cat([nv, v], dim=2)
         q = F.normalize(q, dim=-1) * self.q_scale
         k = F.normalize(k, dim=-1) * self.k_scale
-        sim = torch.einsum("bhid,bhjd->bhij", q, k) / math.sqrt(DH)
-        out = torch.einsum("bhij,bhjd->bhid", sim.softmax(-1), v)
-        return self.to_out(out.transpose(1, 2).reshape(b, n, h * DH))
+        scale = 1.0 / math.sqrt(dh)
+        outs = []
+        for lo in range(0, n, 2048):
+            qc = q[:, :, lo:lo + 2048]
+            sim = torch.einsum("bhid,bhjd->bhij", qc, k) * scale
+            outs.append(torch.einsum("bhij,bhjd->bhid", sim.softmax(-1), v))
+        out = torch.cat(outs, dim=2)
+        return self.to_out(out.transpose(1, 2).reshape(b, n, h * dh))
 
 
 class TorchFF(nn.Module):
-    def __init__(self):
+    def __init__(self, s: Spec):
         super().__init__()
-        inner = int(4 * (2 / 3) * DIM)
+        inner = int(4 * (2 / 3) * s.dim)
         self.seq = nn.Sequential(
-            nn.LayerNorm(DIM),
-            nn.Linear(DIM, inner * 2, bias=False),
+            nn.LayerNorm(s.dim),
+            nn.Linear(s.dim, inner * 2, bias=False),
             nn.Identity(),  # placeholder for GEGLU slot (index parity)
             nn.Dropout(0.0),
-            nn.Linear(inner, DIM, bias=False),
+            nn.Linear(inner, s.dim, bias=False),
         )
 
     def forward(self, x):
@@ -91,15 +135,17 @@ class TorchFF(nn.Module):
 class TorchTower(nn.Module):
     """Oracle of CTViT3D (ctvit3d.py:175-490) with reference module paths."""
 
-    def __init__(self):
+    def __init__(self, s: Spec):
         super().__init__()
-        patch_dim = PT * P * P
+        self.s = s
+        patch_dim = s.pt * s.p * s.p
         self.to_patch_emb = nn.Sequential(
             nn.Identity(),  # slot 0: Rearrange
             nn.LayerNorm(patch_dim),
-            nn.Linear(patch_dim, DIM),
-            nn.LayerNorm(DIM),
+            nn.Linear(patch_dim, s.dim),
+            nn.LayerNorm(s.dim),
         )
+        spec = s
 
         class Enc(nn.Module):
             def __init__(self):
@@ -107,20 +153,20 @@ class TorchTower(nn.Module):
                 self.layers = nn.ModuleList(
                     [
                         nn.ModuleList(
-                            [nn.Identity(), TorchAttn(), nn.Identity(),
-                             TorchFF()]
+                            [nn.Identity(), TorchAttn(spec), nn.Identity(),
+                             TorchFF(spec)]
                         )
-                        for _ in range(BLOCKS)
+                        for _ in range(spec.blocks)
                     ]
                 )
 
                 class NormOut(nn.Module):
                     def __init__(self):
                         super().__init__()
-                        self.gamma = nn.Parameter(torch.ones(DIM))
+                        self.gamma = nn.Parameter(torch.ones(spec.dim))
 
                     def forward(self, x):
-                        return F.layer_norm(x, (DIM,), self.gamma, None)
+                        return F.layer_norm(x, (spec.dim,), self.gamma, None)
 
                 self.norm_out = NormOut()
 
@@ -131,36 +177,27 @@ class TorchTower(nn.Module):
                 return self.norm_out(x)
 
         self.enc_3D = Enc()
-        pos = sincos_pos_embed_3d(DIM, GRID)
+        pos = sincos_pos_embed_3d(s.dim, s.grid)
         self.register_buffer("pos_embed", torch.tensor(pos).unsqueeze(0))
 
     def forward(self, video):
+        s = self.s
         b, c = video.shape[:2]
-        t, hh, ww = GRID
-        x = video.reshape(b, c, t, PT, hh, P, ww, P)
+        t, hh, ww = s.grid
+        x = video.reshape(b, c, t, s.pt, hh, s.p, ww, s.p)
         x = x.permute(0, 2, 4, 6, 1, 3, 5, 7).reshape(
-            b, t, hh, ww, c * PT * P * P
+            b, t, hh, ww, c * s.pt * s.p * s.p
         )
         for m in self.to_patch_emb[1:]:
             x = m(x)
-        x = x.reshape(b, t * hh * ww, DIM) + self.pos_embed
+        x = x.reshape(b, t * hh * ww, s.dim) + self.pos_embed
         x = self.enc_3D(x)
-        return x.reshape(b, t, hh, ww, DIM)
+        return x.reshape(b, t, hh, ww, s.dim)
 
 
-def _build_pair(seed=0):
+def _build_pair(s: Spec, seed=0, with_text=True):
     torch.manual_seed(seed)
-    tower = TorchTower().eval()
-    hf_cfg = transformers.BertConfig(
-        vocab_size=97, hidden_size=DIM, num_hidden_layers=2,
-        num_attention_heads=2, intermediate_size=32,
-        max_position_embeddings=32, type_vocab_size=2, hidden_act="gelu",
-    )
-    bert = transformers.BertModel(hf_cfg, add_pooling_layer=False).eval()
-    to_text = nn.Linear(DIM, DIM, bias=False)
-    to_visual = nn.Linear(DIM, DIM, bias=False)
-    temp = nn.Parameter(torch.tensor(0.7))
-
+    tower = TorchTower(s).eval()
     sd = {}
     for k, v in tower.state_dict().items():
         if "pos_embed" in k or ".norm.bias" in k:
@@ -170,59 +207,90 @@ def _build_pair(seed=0):
         # reference gamma-only LN inside attention stores param as norm.gamma
         k = k.replace(".1.norm.weight", ".1.norm.gamma")
         sd[f"visual_transformer.{k}"] = v
-    for k, v in bert.state_dict().items():
-        sd[f"text_transformer.{k}"] = v
-    sd["to_text_latent.weight"] = to_text.weight
-    sd["to_visual_latent.weight"] = to_visual.weight
-    sd["temperature"] = temp
 
+    bert = to_text = to_visual = temp = None
     bc = BertConfig(
-        vocab_size=97, hidden_size=DIM, num_hidden_layers=2,
+        vocab_size=s.vocab, hidden_size=s.dim, num_hidden_layers=2,
         num_attention_heads=2, intermediate_size=32,
         max_position_embeddings=32, type_vocab_size=2,
     )
+    if with_text:
+        hf_cfg = transformers.BertConfig(
+            vocab_size=s.vocab, hidden_size=s.dim, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=32,
+            max_position_embeddings=32, type_vocab_size=2, hidden_act="gelu",
+        )
+        bert = transformers.BertModel(hf_cfg, add_pooling_layer=False).eval()
+        to_text = nn.Linear(s.dim, s.dim, bias=False)
+        to_visual = nn.Linear(s.dim, s.dim, bias=False)
+        temp = nn.Parameter(torch.tensor(0.7))
+        for k, v in bert.state_dict().items():
+            sd[f"text_transformer.{k}"] = v
+        sd["to_text_latent.weight"] = to_text.weight
+        sd["to_visual_latent.weight"] = to_visual.weight
+        sd["temperature"] = temp
+    else:
+        # conversion requires the full CTCLIP layout; fill the text side
+        # with a fresh tiny tower (unused by encode_image_tokens)
+        hf_cfg = transformers.BertConfig(
+            vocab_size=s.vocab, hidden_size=s.dim, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=32,
+            max_position_embeddings=32, type_vocab_size=2, hidden_act="gelu",
+        )
+        bert0 = transformers.BertModel(hf_cfg, add_pooling_layer=False)
+        for k, v in bert0.state_dict().items():
+            sd[f"text_transformer.{k}"] = v
+        sd["to_text_latent.weight"] = torch.randn(s.dim, s.dim)
+        sd["to_visual_latent.weight"] = torch.randn(s.dim, s.dim)
+        sd["temperature"] = torch.tensor(0.7)
+
     config = ExperimentConfig.from_dict(
         {
             "arch": {
-                "dim": DIM, "image_size": IMG, "patch_size": P,
-                "temporal_size": T, "temporal_patch_size": PT,
-                "transformer_blocks": BLOCKS, "dim_head": DH, "heads": HEADS,
-                "use_flash_attention": True,
+                "dim": s.dim, "image_size": s.img, "patch_size": s.p,
+                "temporal_size": s.t, "temporal_patch_size": s.pt,
+                "transformer_blocks": s.blocks, "dim_head": s.dh,
+                "heads": s.heads, "use_flash_attention": True,
             }
         }
     )
     model = build_ctclip(config, bert_config=bc, policy=FP32_POLICY,
-                         dim_latent=DIM)
+                         dim_latent=s.dim)
     params = convert_ctclip_state_dict(
-        sd, transformer_blocks=BLOCKS, bert_config=bc
+        sd, transformer_blocks=s.blocks, bert_config=bc
     )
     return tower, bert, to_text, to_visual, temp, model, params
 
 
-def test_tower_tokens_parity():
-    tower, _, _, _, _, model, params = _build_pair()
+@pytest.mark.parametrize("spec", [TOY, NONCUBE], ids=["cube", "noncube"])
+def test_tower_tokens_parity(spec):
+    tower, _, _, _, _, model, params = _build_pair(spec)
     rng = np.random.default_rng(0)
-    video = rng.standard_normal((2, 1, T, IMG, IMG)).astype(np.float32)
+    video = rng.standard_normal(
+        (2, 1, spec.t, spec.img, spec.img)).astype(np.float32)
     with torch.no_grad():
         ref = tower(torch.tensor(video)).numpy()
     ours = np.asarray(
         model.apply({"params": params}, jnp.asarray(video),
                     method=CTCLIP.encode_image_tokens)
     )
-    np.testing.assert_allclose(ours, ref, atol=5e-5)
+    np.testing.assert_allclose(ours, ref, atol=spec.atol)
 
 
 def test_clip_score_parity():
-    tower, bert, to_text, to_visual, temp, model, params = _build_pair(seed=1)
+    spec = TOY
+    tower, bert, to_text, to_visual, temp, model, params = _build_pair(
+        spec, seed=1)
     rng = np.random.default_rng(1)
-    video = rng.standard_normal((2, 1, T, IMG, IMG)).astype(np.float32)
-    ids = rng.integers(0, 97, (2, 11))
+    video = rng.standard_normal(
+        (2, 1, spec.t, spec.img, spec.img)).astype(np.float32)
+    ids = rng.integers(0, spec.vocab, (2, 11))
     mask = np.ones((2, 11), dtype=np.int64)
 
     with torch.no_grad():
         tokens = tower(torch.tensor(video))
         b = tokens.shape[0]
-        img_lat = to_visual(tokens.reshape(b, -1, DIM)).mean(dim=1)
+        img_lat = to_visual(tokens.reshape(b, -1, spec.dim)).mean(dim=1)
         img_lat = F.normalize(img_lat, dim=-1)
         hidden = bert(input_ids=torch.tensor(ids),
                       attention_mask=torch.tensor(mask)).last_hidden_state
@@ -241,4 +309,28 @@ def test_clip_score_parity():
             method=CTCLIP.forward_infer,
         )
     )
-    np.testing.assert_allclose(ours, ref_score, atol=5e-5)
+    np.testing.assert_allclose(ours, ref_score, atol=spec.atol)
+
+
+@pytest.mark.slow
+def test_tower_tokens_parity_production_shape():
+    """Full 768-dim / 8-block / 24³-token conversion parity (VERDICT #3a).
+
+    fp32 end to end; tolerance 2e-3 on the LayerNormed output absorbs
+    BLAS-vs-XLA reduction-order drift accumulated over 8 blocks of 13.8k-
+    token attention — layout/stride/transpose bugs produce O(1) errors."""
+    spec = PROD
+    tower, _, _, _, _, model, params = _build_pair(spec, seed=2,
+                                                   with_text=False)
+    rng = np.random.default_rng(2)
+    video = rng.standard_normal(
+        (1, 1, spec.t, spec.img, spec.img)).astype(np.float32)
+    with torch.no_grad():
+        ref = tower(torch.tensor(video)).numpy()
+    ours = np.asarray(
+        model.apply({"params": params}, jnp.asarray(video),
+                    method=CTCLIP.encode_image_tokens)
+    )
+    assert ours.shape == ref.shape == (1, 24, 24, 24, 768)
+    err = np.abs(ours - ref).max()
+    assert err < spec.atol, f"max abs err {err}"

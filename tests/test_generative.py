@@ -114,3 +114,37 @@ def test_maskgit_train_and_sample():
     )
     assert out.shape == (2, 12)
     assert int(out.max()) < 32 and int(out.min()) >= 0
+
+
+def test_t5_conditioning_adapter():
+    """T5 conditioning restored for MaskGIT (t5.py:64-104 parity surface):
+    HF Flax T5 encoder states (pads zeroed, frozen) drive MaskGit
+    cross-attention via the t5_text_encode adapter."""
+    import pytest
+
+    t5_adapter = pytest.importorskip("vit_exp_tpu.models.t5_adapter")
+    if not t5_adapter.available():
+        pytest.skip("FlaxT5EncoderModel unavailable")
+
+    from vit_exp_tpu.models.maskgit_pipeline import t5_text_encode
+
+    enc = t5_adapter.T5TextEncoder()  # offline tiny T5Config, random init
+    ids = jax.random.randint(jax.random.PRNGKey(0), (2, 7), 0, 512)
+    mask = jnp.asarray([[1, 1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 1, 1, 1]],
+                       jnp.int32)
+    states, m2 = enc(ids, mask)
+    assert states.shape == (2, 7, enc.ctx_dim)
+    # pads zeroed (t5.py:96-104 masked_fill)
+    assert float(jnp.abs(states[0, 4:]).max()) == 0.0
+    assert float(jnp.abs(states[0, :4]).max()) > 0.0
+
+    mg = MaskGit(num_tokens=16, max_seq_len=10, dim=16, depth=1, heads=2,
+                 dim_head=4, dim_context=enc.ctx_dim)
+    tok = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 0, 16)
+    encode = t5_text_encode(enc)
+    ctx = encode(ids, mask)
+    vars_ = mg.init(jax.random.PRNGKey(2), tok, context=ctx,
+                    context_mask=mask)
+    logits = mg.apply(vars_, tok, context=ctx, context_mask=mask)
+    assert logits.shape == (2, 10, 16)
+    assert np.isfinite(np.asarray(logits)).all()

@@ -51,7 +51,11 @@ def server():
     def latent_fn(arr):
         return np.asarray(_latent(jnp.asarray(arr[None])))[0]
 
-    srv = build_server(engine, latent_fn, (8, 8, 8), 0)
+    import os
+
+    os.makedirs("/tmp/serve_test_data", exist_ok=True)
+    srv = build_server(engine, latent_fn, (8, 8, 8), 0,
+                       data_root="/tmp/serve_test_data")
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
     thread.start()
     yield f"http://127.0.0.1:{srv.server_address[1]}"
@@ -108,3 +112,26 @@ def test_embed_and_errors(server):
 
     code, body = _post(server, "/nope", {"volume": vol.tolist()})
     assert code == 404
+
+
+def test_classify_path_restricted_to_data_root(server):
+    vol = np.random.default_rng(2).uniform(-1, 1, (8, 8, 8)).astype(
+        np.float32)
+    np.save("/tmp/serve_test_data/vol.npy", vol)
+    code, body = _post(server, "/classify_path",
+                       {"path": "/tmp/serve_test_data/vol.npy"})
+    assert code == 200 and "probs" in body
+
+    # escape attempts → 400, both plain and via ..
+    np.save("/tmp/serve_outside.npy", vol)
+    for path in ("/tmp/serve_outside.npy",
+                 "/tmp/serve_test_data/../serve_outside.npy"):
+        code, body = _post(server, "/classify_path", {"path": path})
+        assert code == 400 and "data root" in body["error"]
+
+
+def test_classify_path_disabled_without_root():
+    from vit_exp_tpu.cli.serve import _decode_volume
+
+    with pytest.raises(ValueError, match="disabled"):
+        _decode_volume({"path": "/tmp/anything.npy"}, None, None)

@@ -98,3 +98,76 @@ def test_simsiam_components():
         jax.random.PRNGKey(4), encode, lambda x: proj.apply(pvars, x), video
     )
     assert np.isfinite(float(loss2))
+
+
+def test_mlm_ssl_wired_into_train_step():
+    """use_mlm + use_visual_ssl reach the jitted imagereport step end to end
+    (VERDICT item 7): extra loss terms appear in metrics, grads flow into
+    the SSL heads, and the reference weight-combine applies
+    (ct_clip.py:1761-1765)."""
+    import flax.linen as nn
+
+    from vit_exp_tpu.core.config import ExperimentConfig
+    from vit_exp_tpu.core.precision import FP32_POLICY
+    from vit_exp_tpu.models.bert import BertConfig
+    from vit_exp_tpu.models.ctclip import CTCLIP
+    from vit_exp_tpu.models.factory import build_ctclip
+    from vit_exp_tpu.train.optimizer import build_optimizer
+    from vit_exp_tpu.train.steps import create_train_state, make_train_steps
+
+    for ssl_type in ("simsiam", "simclr"):
+        config = ExperimentConfig.from_dict(
+            {
+                "trainer": {"lr": 1e-3, "max_grad_norm": 1.0},
+                "arch": {
+                    "dim": 24, "image_size": 8, "patch_size": 4,
+                    "temporal_size": 8, "temporal_patch_size": 4,
+                    "transformer_blocks": 1, "dim_head": 4, "heads": 2,
+                },
+                "ct_clip_arch": {
+                    "use_mlm": True,
+                    "use_visual_ssl": True,
+                    "visual_ssl_type": ssl_type,
+                    "mlm_mask_token_id": 3,
+                },
+            }
+        )
+        bc = BertConfig.tiny()
+        model = build_ctclip(config, bert_config=bc, policy=FP32_POLICY,
+                             dim_latent=16)
+        video = jnp.ones((2, 1, 8, 8, 8), jnp.float32)
+        ids = jnp.asarray(
+            np.random.default_rng(0).integers(4, bc.vocab_size, (2, 12)),
+            jnp.int32,
+        )
+        params = nn.unbox(
+            model.init(jax.random.PRNGKey(0), video, ids,
+                       method=CTCLIP.init_all)
+        )["params"]
+        assert "mlm_head" in params and "ssl_projector" in params
+        if ssl_type == "simsiam":
+            assert "ssl_predictor" in params
+
+        tx = build_optimizer(config.trainer)
+        state = create_train_state(params, tx)
+        # snapshot before the step call — the jitted step donates `state`
+        kernel_before = np.asarray(state.params["mlm_head"]["kernel"]).copy()
+        steps = make_train_steps(model, tx, config)
+        batch = {
+            "image": video,
+            "input_ids": ids,
+            "attention_mask": jnp.ones_like(ids),
+        }
+        new_state, metrics = steps["imagereport"](state, batch, 1.0)
+        assert "text_ssl_loss" in metrics and "image_ssl_loss" in metrics
+        total = float(metrics["loss"])
+        expect = (0.9 * float(metrics["cl_loss"])
+                  + 0.05 * float(metrics["text_ssl_loss"])
+                  + 0.05 * float(metrics["image_ssl_loss"]))
+        np.testing.assert_allclose(total, expect, rtol=1e-5)
+        # SSL head params actually updated (grads flowed)
+        moved = np.abs(
+            np.asarray(new_state.params["mlm_head"]["kernel"])
+            - kernel_before
+        ).max()
+        assert moved > 0

@@ -208,3 +208,47 @@ def test_superres_dataset(tmp_path):
         sample_list=str(lst), min_slices=5,
     )
     assert len(ds2) == 1
+
+
+def test_resample_reference_matches_pil_torch_oracle():
+    """resample_reference == the reference's per-slice torchvision/PIL
+    antialiased bilinear + F.interpolate trilinear (videotextdataset.py:
+    96-127), on both down- and up-sampling shapes (VERDICT item 8)."""
+    import torch
+    import torch.nn.functional as F
+    from PIL import Image
+
+    from vit_exp_tpu.data.video import resample_reference
+
+    rng = np.random.default_rng(0)
+    for (d, h, w), target in [
+        ((37, 96, 80), (20, 32, 32)),   # downsample (antialias active)
+        ((11, 24, 24), (20, 48, 48)),   # upsample
+        ((30, 512, 512), (40, 128, 128)),  # reference-like 4× decimation
+    ]:
+        vol = rng.uniform(-1, 1, (d, h, w)).astype(np.float32)
+        # oracle: exact reference ops
+        slices = []
+        for i in range(d):
+            img = Image.fromarray(vol[i], mode="F")
+            img = img.resize((target[2], target[1]), Image.BILINEAR)
+            slices.append(torch.tensor(np.asarray(img)))
+        t = torch.stack(slices, dim=0)[None, None]  # (1, 1, d, H, W)
+        ref = F.interpolate(t, size=target, mode="trilinear",
+                            align_corners=False)[0, 0].numpy()
+        ours = resample_reference(vol, target)
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_resample_modes_differ_on_decimation():
+    """The fused trilinear path is NOT the reference path when
+    downsampling — the documented deviation is now a switch, not a
+    silent substitution."""
+    from vit_exp_tpu.data.video import _resample_to, resample_reference
+
+    rng = np.random.default_rng(1)
+    vol = rng.uniform(-1, 1, (16, 64, 64)).astype(np.float32)
+    a = resample_reference(vol, (8, 16, 16))
+    b = _resample_to(vol, (8, 16, 16))
+    assert np.abs(a - b).max() > 1e-3

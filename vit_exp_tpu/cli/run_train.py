@@ -40,6 +40,16 @@ def build_datasets(config, tokenizer, synthetic: int = 0):
             for spec in (config.train_data_list or [{"type": "imagereport"}])
         ]
 
+    def _get(spec, *names):
+        # both our names and the reference yaml names resolve
+        # (train_data_list entries use data_train/reports_file_train/
+        # seg_data_train/seg_mask_train — e.g.
+        # ct_clip_vit_open_seg_hpc_v5_1_80g.yaml:21-50)
+        for n in names:
+            if spec.get(n) is not None:
+                return spec[n]
+        raise KeyError(f"dataset spec needs one of {names}: {spec}")
+
     datasets = []
     for spec in config.train_data_list:
         dtype = spec.get("type", "imagereport")
@@ -51,25 +61,33 @@ def build_datasets(config, tokenizer, synthetic: int = 0):
 
                 datasets.append(
                     CTReportPackedDataset(
-                        spec["data_folder"],
-                        spec.get("reports_csv"),
+                        _get(spec, "data_folder", "data_train"),
+                        spec.get("reports_csv") or spec.get(
+                            "reports_file_train"),
                         tokenizer=tokenizer,
                     )
                 )
                 continue
             datasets.append(
                 CTReportDataset(
-                    spec["data_folder"], spec["reports_csv"],
+                    _get(spec, "data_folder", "data_train"),
+                    _get(spec, "reports_csv", "reports_file_train"),
                     tokenizer=tokenizer,
                 )
             )
         elif dtype == "imageseg":
-            datasets.append(CTSegDataset(spec["data_folder"], spec["mask_folder"]))
+            datasets.append(CTSegDataset(
+                _get(spec, "data_folder", "seg_data_train"),
+                _get(spec, "mask_folder", "seg_mask_train")))
         elif dtype == "imageopenseg":
             datasets.append(
                 CTOpenSegDataset(
-                    spec["data_folder"], spec["mask_folder"],
-                    spec["seg_mask_name_table"], tokenizer=tokenizer,
+                    _get(spec, "data_folder", "seg_data_train"),
+                    _get(spec, "mask_folder", "seg_mask_train"),
+                    _get(spec, "seg_mask_name_table"),
+                    tokenizer=tokenizer,
+                    seg_mask_prompt_type=spec.get(
+                        "seg_mask_prompt_type", "this_region"),
                 )
             )
         else:

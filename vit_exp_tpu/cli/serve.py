@@ -31,7 +31,9 @@ import threading
 import time
 
 
-def _decode_volume(payload, expect_shape):
+def _decode_volume(payload, expect_shape, data_root=None):
+    import os
+
     import numpy as np
 
     vol = payload.get("volume")
@@ -40,7 +42,14 @@ def _decode_volume(payload, expect_shape):
     elif vol is not None:
         arr = np.asarray(vol, dtype=np.float32)
     else:
-        path = payload["path"]
+        if data_root is None:
+            raise ValueError(
+                "path-based loads are disabled; start the server with "
+                "--data_root to allow server-side reads")
+        path = os.path.realpath(payload["path"])
+        root = os.path.realpath(data_root)
+        if os.path.commonpath([path, root]) != root:
+            raise ValueError(f"path outside the configured data root")
         if path.endswith(".npz"):
             with np.load(path) as d:
                 arr = d[list(d.keys())[0]]
@@ -55,7 +64,8 @@ def _decode_volume(payload, expect_shape):
     return arr
 
 
-def build_server(engine, latent_fn, expect_shape, port: int):
+def build_server(engine, latent_fn, expect_shape, port: int,
+                 host: str = "127.0.0.1", data_root=None):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     lock = threading.Lock()  # one dispatch at a time; TPU is serial anyway
@@ -85,7 +95,7 @@ def build_server(engine, latent_fn, expect_shape, port: int):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
-                arr = _decode_volume(payload, expect_shape)
+                arr = _decode_volume(payload, expect_shape, data_root)
                 t0 = time.perf_counter()
                 with lock:
                     if self.path in ("/classify", "/classify_path"):
@@ -107,7 +117,7 @@ def build_server(engine, latent_fn, expect_shape, port: int):
             except Exception as e:  # surface errors to the client
                 self._send(400, {"error": str(e)})
 
-    return ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    return ThreadingHTTPServer((host, port), Handler)
 
 
 def main(argv=None):
@@ -116,6 +126,13 @@ def main(argv=None):
     parser.add_argument("--model_path", default=None)
     parser.add_argument("--torch_ckpt", action="store_true")
     parser.add_argument("--port", type=int, default=8750)
+    parser.add_argument("--host", default="127.0.0.1",
+                        help="bind address (default loopback; set 0.0.0.0 "
+                        "explicitly for wider exposure)")
+    parser.add_argument("--data_root", default=None,
+                        help="directory to which /classify_path server-side "
+                        "reads are restricted (omitted = path loads "
+                        "disabled)")
     parser.add_argument("--vocab", default=None)
     parser.add_argument("--int8", action="store_true",
                         help="W8A8 feed-forward (faster serving, ~5% "
@@ -187,8 +204,9 @@ def main(argv=None):
         latent_fn(dummy[0])
         print(f"warmup compile {time.perf_counter() - t0:.1f}s", flush=True)
 
-    server = build_server(engine, latent_fn, expect_shape, args.port)
-    print(f"serving on :{args.port} "
+    server = build_server(engine, latent_fn, expect_shape, args.port,
+                          host=args.host, data_root=args.data_root)
+    print(f"serving on {args.host}:{args.port} "
           f"(volume {expect_shape}, {len(engine.pathologies)} pathologies)",
           flush=True)
     server.serve_forever()

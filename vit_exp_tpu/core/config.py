@@ -54,7 +54,12 @@ class ArchConfig:
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "ArchConfig":
         known = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in known})
+        kwargs = {k: v for k, v in d.items() if k in known}
+        if "arch_name" in kwargs:
+            # reference yamls write "CTViT3D" (run_train.py:36); the
+            # factory asserts the lowercase spelling
+            kwargs["arch_name"] = str(kwargs["arch_name"]).lower()
+        return cls(**kwargs)
 
 
 @dataclasses.dataclass
@@ -97,6 +102,15 @@ class CTClipArchConfig:
     open_seg_loss_down_factor: int = 1
     open_seg_loss_hyper_config: Dict[str, Any] = dataclasses.field(default_factory=dict)
     fusion_head: Optional[HeadConfig] = None
+    # SSL heads — defaulted off in every reference config (run_train.py:150,
+    # ct_clip.py:577-610) but reachable end-to-end via these flags
+    use_mlm: bool = False
+    use_visual_ssl: bool = False
+    visual_ssl_type: str = "simsiam"  # "simsiam" | "simclr"
+    text_ssl_loss_weight: float = 0.05
+    image_ssl_loss_weight: float = 0.05
+    mlm_mask_prob: float = 0.15
+    mlm_mask_token_id: int = 103  # BERT [MASK]
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "CTClipArchConfig":
@@ -117,6 +131,13 @@ class CTClipArchConfig:
             open_seg_loss_down_factor=int(d.get("open_seg_loss_down_factor", 1)),
             open_seg_loss_hyper_config=d.get("open_seg_loss_hyper_config", {}) or {},
             fusion_head=fusion,
+            use_mlm=d.get("use_mlm", False),
+            use_visual_ssl=d.get("use_visual_ssl", False),
+            visual_ssl_type=d.get("visual_ssl_type", "simsiam"),
+            text_ssl_loss_weight=float(d.get("text_ssl_loss_weight", 0.05)),
+            image_ssl_loss_weight=float(d.get("image_ssl_loss_weight", 0.05)),
+            mlm_mask_prob=float(d.get("mlm_mask_prob", 0.15)),
+            mlm_mask_token_id=int(d.get("mlm_mask_token_id", 103)),
         )
 
 
@@ -134,6 +155,7 @@ class TrainerConfig:
     eval_model_every: int = 2000
     sample_val_every: int = 1000
     vis_train_every: List[int] = dataclasses.field(default_factory=list)
+    vis_val_every: int = 0
     balance_loss_weight: List[float] = dataclasses.field(default_factory=list)
     warmup_steps: int = 0
 
@@ -147,7 +169,8 @@ class TrainerConfig:
                 kwargs[k] = float(kwargs[k])
         for k in ("num_train_steps", "gradient_accumulation_steps",
                   "save_results_every", "save_model_every",
-                  "eval_model_every", "sample_val_every", "warmup_steps"):
+                  "eval_model_every", "sample_val_every", "vis_val_every",
+                  "warmup_steps"):
             if k in kwargs:
                 kwargs[k] = int(kwargs[k])
         if "balance_loss_weight" in kwargs:
@@ -171,6 +194,78 @@ class DatasetSamplerConfig:
         return cls(**{k: v for k, v in d.items() if k in known})
 
 
+_FLAT_ARCH_KEYS = (
+    "arch_name", "dim", "image_size", "patch_size", "temporal_size",
+    "temporal_patch_size", "transformer_blocks", "dim_head", "heads",
+    "use_flash_attention", "channels",
+)
+_FLAT_TRAINER_KEYS = (
+    "lr", "wd", "num_train_steps", "max_grad_norm",
+    "gradient_accumulation_steps", "save_results_every", "save_model_every",
+    "eval_model_every", "sample_val_every", "warmup_steps",
+)
+_FLAT_REPORT_DATA_KEYS = (
+    "reports_file_train", "reports_file_valid", "metadata_train",
+    "data_train", "data_valid", "labels",
+)
+_FLAT_SEG_DATA_KEYS = (
+    "seg_data_train", "seg_data_valid", "seg_mask_train", "seg_mask_valid",
+)
+
+
+def _normalize_flat_schema(d: Dict[str, Any]) -> Dict[str, Any]:
+    """Lift the reference's OLD flat schema into the nested one.
+
+    18 of the 70 reference yamls (e.g. ct_clip_vit_hpc_v3_1.yaml:1-31,
+    ct_clip_ori_hpc_1.yaml) predate the nested layout: arch fields, trainer
+    fields and CT-RATE paths sit at the top level, and 4 of them add flat
+    seg keys (`use_seg`, `seg_data_train`, `seg_head_*` —
+    ct_clip_vit_seg_30_v1.yaml).  The reference reads both layouts through
+    `config.get(...)` fallbacks (run_train.py:36-54); here the flat form is
+    rewritten into the nested one so the rest of the loader sees a single
+    schema.  No-op for nested configs.
+    """
+    if "arch" in d or "trainer" in d or "train_data_list" in d:
+        return d
+    d = dict(d)
+    arch = {k: d.pop(k) for k in _FLAT_ARCH_KEYS if k in d}
+    if arch:
+        d["arch"] = arch
+    trainer = {k: d.pop(k) for k in _FLAT_TRAINER_KEYS if k in d}
+    if trainer:
+        d["trainer"] = trainer
+    data_list: List[Dict[str, Any]] = []
+    report = {k: d[k] for k in _FLAT_REPORT_DATA_KEYS if k in d}
+    if report:
+        report.update({
+            "name": "CT-RATE", "type": "imagereport",
+            "batch_size": d.get("batch_size", 1),
+            "num_workers": d.get("num_workers", 0),
+        })
+        data_list.append(report)
+    seg = {k: d[k] for k in _FLAT_SEG_DATA_KEYS if k in d}
+    if seg and d.get("use_seg"):
+        seg.update({
+            "name": "TotalSegmentator", "type": "imageseg",
+            "batch_size": d.get("batch_size", 1),
+            "num_workers": d.get("num_workers", 0),
+        })
+        data_list.append(seg)
+    if data_list:
+        d["train_data_list"] = data_list
+    ct: Dict[str, Any] = {}
+    if "use_seg" in d:
+        ct["use_seg"] = d["use_seg"]
+    seg_head = {k: v for k, v in d.items() if k.startswith("seg_head_")}
+    if seg_head:
+        # seg_head_n_layers → head-config n_layers (HeadConfig strips the
+        # head_ prefix; here the prefix is seg_head_)
+        ct["seg_head"] = {k[len("seg_head_"):]: v for k, v in seg_head.items()}
+    if ct:
+        d["ct_clip_arch"] = ct
+    return d
+
+
 @dataclasses.dataclass
 class ExperimentConfig:
     random_seed: int = 42
@@ -181,6 +276,7 @@ class ExperimentConfig:
     arch: ArchConfig = dataclasses.field(default_factory=ArchConfig)
     ct_clip_arch: CTClipArchConfig = dataclasses.field(default_factory=CTClipArchConfig)
     train_data_list: List[Dict[str, Any]] = dataclasses.field(default_factory=list)
+    valid_data_list: List[Dict[str, Any]] = dataclasses.field(default_factory=list)
     valid_test_list: List[str] = dataclasses.field(default_factory=list)
     sample_test_list: List[str] = dataclasses.field(default_factory=list)
     dataset_sampler: DatasetSamplerConfig = dataclasses.field(
@@ -190,19 +286,29 @@ class ExperimentConfig:
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "ExperimentConfig":
+        d = _normalize_flat_schema(d)
         known = {
             "random_seed",
             "results_folder",
             "project_name",
             "exp_name",
             "train_data_list",
+            "valid_data_list",
             "valid_test_list",
             "sample_test_list",
         }
         kwargs: Dict[str, Any] = {k: d[k] for k in known if k in d}
         kwargs["trainer"] = TrainerConfig.from_dict(_sub(d, "trainer"))
-        kwargs["arch"] = ArchConfig.from_dict(_sub(d, "arch"))
-        kwargs["ct_clip_arch"] = CTClipArchConfig.from_dict(_sub(d, "ct_clip_arch"))
+        arch_block = dict(_sub(d, "arch"))
+        kwargs["arch"] = ArchConfig.from_dict(arch_block)
+        ct_block = dict(_sub(d, "ct_clip_arch"))
+        # two reference yamls misplace use_seg/seg_head inside the `arch`
+        # block (ct_clip_vit_seg_30_v1.yaml); the reference reads them via
+        # config.get fallbacks — lift them to where they are consumed
+        for key in ("use_seg", "seg_head"):
+            if key in arch_block and key not in ct_block:
+                ct_block[key] = arch_block[key]
+        kwargs["ct_clip_arch"] = CTClipArchConfig.from_dict(ct_block)
         kwargs["dataset_sampler"] = DatasetSamplerConfig.from_dict(
             _sub(d, "DatasetSampler")
         )

@@ -34,26 +34,63 @@ def _is_punct(ch: str) -> bool:
     return unicodedata.category(ch).startswith("P")
 
 
+def _is_whitespace(ch: str) -> bool:
+    if ch in (" ", "\t", "\n", "\r"):
+        return True
+    return unicodedata.category(ch) == "Zs"
+
+
+def _is_control(ch: str) -> bool:
+    if ch in ("\t", "\n", "\r"):
+        return False
+    return unicodedata.category(ch) in ("Cc", "Cf")
+
+
+def _is_cjk(cp: int) -> bool:
+    return ((0x4E00 <= cp <= 0x9FFF) or (0x3400 <= cp <= 0x4DBF)
+            or (0x20000 <= cp <= 0x2A6DF) or (0x2A700 <= cp <= 0x2B73F)
+            or (0x2B740 <= cp <= 0x2B81F) or (0x2B820 <= cp <= 0x2CEAF)
+            or (0xF900 <= cp <= 0xFAFF) or (0x2F800 <= cp <= 0x2FA1F))
+
+
+def _strip_accents(text: str) -> str:
+    return "".join(ch for ch in unicodedata.normalize("NFD", text)
+                   if unicodedata.category(ch) != "Mn")
+
+
 def _basic_tokens(text: str, lower: bool = True) -> List[str]:
-    text = unicodedata.normalize("NFC", text)
-    if lower:
-        text = text.lower()
-    out: List[str] = []
-    word = []
+    """HF BertTokenizer BasicTokenizer pipeline, byte-for-byte: clean text
+    (drop NUL/U+FFFD/control chars, fold whitespace), space out CJK chars,
+    whitespace-split, then per token lowercase → strip accents (NFD, drop
+    Mn — HF default when do_lower_case=True) → split on punctuation.
+    Differential-tested against transformers.BertTokenizerFast in
+    tests/test_tokenizer_hf.py."""
+    cleaned: List[str] = []
     for ch in text:
-        if ch.isspace():
-            if word:
-                out.append("".join(word))
-                word = []
-        elif _is_punct(ch):
-            if word:
-                out.append("".join(word))
-                word = []
-            out.append(ch)
+        cp = ord(ch)
+        if cp == 0 or cp == 0xFFFD or _is_control(ch):
+            continue
+        if _is_cjk(cp):
+            cleaned.append(" " + ch + " ")
+        elif _is_whitespace(ch):
+            cleaned.append(" ")
         else:
-            word.append(ch)
-    if word:
-        out.append("".join(word))
+            cleaned.append(ch)
+    out: List[str] = []
+    for token in "".join(cleaned).split():
+        if lower:
+            token = _strip_accents(token.lower())
+        word: List[str] = []
+        for ch in token:
+            if _is_punct(ch):
+                if word:
+                    out.append("".join(word))
+                    word = []
+                out.append(ch)
+            else:
+                word.append(ch)
+        if word:
+            out.append("".join(word))
     return out
 
 

@@ -62,12 +62,76 @@ def _resample_to(volume_dhw: np.ndarray, target=DEFAULT_TARGET) -> np.ndarray:
     )
 
 
+def _pil_bilinear_weights(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) row-stochastic resampling matrix reproducing PIL's
+    antialiased bilinear resize (the torchvision transforms.Resize the
+    reference applies per slice, videotextdataset.py:29+111): triangle
+    filter whose support scales with the downsample factor, sample centers
+    at pixel centers, weights normalized per output pixel."""
+    scale = n_in / n_out
+    filterscale = max(scale, 1.0)
+    support = filterscale  # bilinear filter support 1.0 × filterscale
+    ss = 1.0 / filterscale
+    w_mat = np.zeros((n_out, n_in), np.float64)
+    for i in range(n_out):
+        center = (i + 0.5) * scale
+        lo = max(int(center - support + 0.5), 0)
+        hi = min(int(center + support + 0.5), n_in)
+        xs = np.arange(lo, hi)
+        w = np.clip(1.0 - np.abs((xs + 0.5 - center) * ss), 0.0, None)
+        total = w.sum()
+        if total > 0:
+            w /= total
+        w_mat[i, lo:hi] = w
+    return w_mat.astype(np.float32)
+
+
+def _linear_weights(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) matrix for torch F.interpolate mode='linear',
+    align_corners=False (videotextdataset.py:122 depth axis): source
+    coordinate (i+0.5)·scale − 0.5, edge-clamped, NO antialias."""
+    scale = n_in / n_out
+    w_mat = np.zeros((n_out, n_in), np.float32)
+    for i in range(n_out):
+        center = max((i + 0.5) * scale - 0.5, 0.0)
+        j0 = min(int(center), n_in - 1)
+        j1 = min(j0 + 1, n_in - 1)
+        frac = center - j0
+        w_mat[i, j0] += 1.0 - frac
+        w_mat[i, j1] += frac
+    return w_mat
+
+
+def resample_reference(
+    volume_dhw: np.ndarray, target=DEFAULT_TARGET
+) -> np.ndarray:
+    """EXACT reference resample (videotextdataset.py:96-127): per-slice
+    PIL antialiased-bilinear resize to target H×W, then trilinear
+    F.interpolate to (target_d, H, W) — which, with H/W already at target,
+    reduces to non-antialiased linear along depth.  Expressed as three
+    separable matrix products (bit-compatible with the PIL+torch pipeline
+    to ~1e-6; see tests/test_video_bpe.py oracle test)."""
+    vol = np.asarray(volume_dhw, np.float32)
+    d_out, h_out, w_out = target
+    wh = _pil_bilinear_weights(vol.shape[1], h_out)
+    ww = _pil_bilinear_weights(vol.shape[2], w_out)
+    # per-slice spatial resize: (d, h, w) → (d, h_out, w_out)
+    sp = np.einsum("oh,dhw,pw->dop", wh, vol, ww, optimize=True)
+    wd = _linear_weights(vol.shape[0], d_out)
+    return np.einsum("od,dhw->ohw", wd, sp, optimize=True)
+
+
 def load_hu_volume(
     nii_path: str, metadata: Optional[Dict] = None,
-    target=DEFAULT_TARGET,
+    target=DEFAULT_TARGET, resample: str = "reference",
 ) -> np.ndarray:
     """nii.gz (+ sidecar _metadata.json) → (1, D, H, W) in [-1, 1]
-    (nii_img_to_tensor, videotextdataset.py:96-127)."""
+    (nii_img_to_tensor, videotextdataset.py:96-127).
+
+    resample="reference": exact reference semantics — per-slice PIL
+    antialiased bilinear + depth-linear (resample_reference).
+    resample="trilinear": single fused on-device trilinear (faster, NO
+    in-plane antialiasing — measurably different when downsampling)."""
     if metadata is None:
         meta_path = str(nii_path).replace(".nii.gz", "") + "_metadata.json"
         if os.path.exists(meta_path):
@@ -83,7 +147,10 @@ def load_hu_volume(
         img = img[:, :, ::-1]  # reversed slice order quirk
     vol = np.transpose(img, (2, 0, 1))  # (D, H, W)
     if target is not None:
-        vol = _resample_to(vol, target)
+        if resample == "reference":
+            vol = resample_reference(vol, target)
+        else:
+            vol = _resample_to(vol, target)
     return vol[None].astype(np.float32)
 
 

@@ -199,27 +199,51 @@ class ZeroShotSegmenter:
 
         @jax.jit
         def _dice(params, video, seg_mask):
-            from vit_exp_tpu.models.losses import dice_scores
+            from vit_exp_tpu.models.losses import dice_scores_per_sample
 
             logits = model.apply({"params": params}, video,
                                  method=CTCLIP.seg_forward)
-            return dice_scores(logits, seg_mask)
+            return dice_scores_per_sample(logits, seg_mask)
 
         self._dice_fn = _dice
+
+    def dice_batch(self, volumes: np.ndarray, masks: np.ndarray) -> np.ndarray:
+        """(B, 1, D, H, W), (B, C, D, H, W) → (B, C) per-sample dice."""
+        return np.asarray(self._dice_fn(
+            self.params, jnp.asarray(volumes), jnp.asarray(masks)))
 
     def infer(
         self, dataset, *, results_folder: Optional[str] = None,
         limit: Optional[int] = None,
     ) -> Dict[str, float]:
+        """Batched dice over the dataset: volumes are stacked to
+        `batch_size` and scored in ONE jitted program per batch, with the
+        classifier engine's pad-tail pattern (repeat last item, slice off)
+        instead of the reference's per-volume dispatch loop
+        (zero_shot.py:908-1101)."""
         n = min(len(dataset), limit) if limit else len(dataset)
-        all_dice = []
+        all_dice: list = []
+        batch_v, batch_m = [], []
+
+        def flush():
+            if not batch_v:
+                return
+            vs, ms = np.stack(batch_v), np.stack(batch_m)
+            pad = self.batch_size - len(batch_v)
+            if pad:
+                vs = np.concatenate([vs, np.repeat(vs[-1:], pad, axis=0)])
+                ms = np.concatenate([ms, np.repeat(ms[-1:], pad, axis=0)])
+            all_dice.extend(self.dice_batch(vs, ms)[: len(batch_v)])
+            batch_v.clear()
+            batch_m.clear()
+
         for i in range(n):
             item = dataset[i]
-            d = self._dice_fn(
-                self.params, jnp.asarray(item["image"][None]),
-                jnp.asarray(item["seg_mask"][None]),
-            )
-            all_dice.append(np.asarray(d))
+            batch_v.append(item["image"])
+            batch_m.append(item["seg_mask"])
+            if len(batch_v) == self.batch_size:
+                flush()
+        flush()
         dice = np.nanmean(np.stack(all_dice), axis=0)
         res = {f"dice_class_{i}": float(v) for i, v in enumerate(dice)}
         res["mean_dice"] = float(np.nanmean(dice))

@@ -97,6 +97,20 @@ class CTCLIP(nn.Module):
                                            name="fusion_head")
             else:
                 self.fusion_head = None
+        if ca.use_mlm:
+            # MLM.to_logits (mlm.py:66): Linear(dim_text, vocab)
+            self.mlm_head = PDense(self.bert_config.vocab_size,
+                                   axes=("embed", "vocab"),
+                                   policy=self.policy, name="mlm_head")
+        if ca.use_visual_ssl:
+            from vit_exp_tpu.models.visual_ssl import (
+                PredictionMLP,
+                ProjectionMLP,
+            )
+
+            self.ssl_projector = ProjectionMLP(name="ssl_projector")
+            if ca.visual_ssl_type == "simsiam":
+                self.ssl_predictor = PredictionMLP(name="ssl_predictor")
 
     # -- encoders ----------------------------------------------------------
 
@@ -167,6 +181,12 @@ class CTCLIP(nn.Module):
             if ca.fusion_head is not None:
                 h = ca.open_seg_head.out_dim + ca.open_text_head.out_dim
                 _ = self.fusion_head(jnp.zeros((1, h), video.dtype))
+        if ca.use_mlm:
+            _ = self.mlm_logits(input_ids, attention_mask)
+        if ca.use_visual_ssl:
+            z = self.ssl_project(video)
+            if ca.visual_ssl_type == "simsiam":
+                _ = self.ssl_predict(z)
         return out
 
     def forward_infer(
@@ -218,3 +238,28 @@ class CTCLIP(nn.Module):
     def apply_fusion_head(self, x: jnp.ndarray) -> jnp.ndarray:
         assert self.fusion_head is not None
         return self.fusion_head(x)
+
+    # -- SSL heads (off by default; wired behind use_mlm/use_visual_ssl) ---
+
+    def mlm_logits(
+        self,
+        input_ids: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Corrupted ids → per-position vocab logits (mlm.py:97-102: text
+        tower + to_logits).  Corruption/loss live in models/mlm.py and run
+        in the train step, where the step rng is known."""
+        hidden = self.text_transformer(input_ids, attention_mask)
+        return self.mlm_head(hidden)
+
+    def ssl_project(self, video: jnp.ndarray) -> jnp.ndarray:
+        """Augmented view → projector embedding z (visual_ssl.py:207-260:
+        encoder hidden → MLP projector; we pool the token field)."""
+        tokens = self.encode_image_tokens(video)
+        pooled = jnp.mean(
+            tokens.reshape(tokens.shape[0], -1, tokens.shape[-1]), axis=1
+        )
+        return self.ssl_projector(pooled.astype(jnp.float32))
+
+    def ssl_predict(self, z: jnp.ndarray) -> jnp.ndarray:
+        return self.ssl_predictor(z)

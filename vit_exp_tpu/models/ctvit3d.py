@@ -77,9 +77,14 @@ class CosineSelfAttention(nn.Module):
             # ScaleLayerNorm + to_q + to_kv as ONE kernel (ops/fused_proj):
             # γ folds into the weights, the two narrow matmuls become one
             # (768, 768) six-tile matmul, the LN output never hits HBM.
-            # Param tree identical to the unfused path.
+            # Param tree identical to the unfused path.  Under the int8
+            # serving impl the same kernel runs W8A8 (γ folded before
+            # per-channel weight quantization).
             from vit_exp_tpu.models.layers import ScaleLNParams
-            from vit_exp_tpu.ops.fused_proj import fused_ln_qkv
+            from vit_exp_tpu.ops.fused_proj import (
+                fused_ln_qkv,
+                fused_ln_qkv_int8,
+            )
 
             gamma_ln = ScaleLNParams(x.shape[-1], policy=self.policy,
                                      name="norm")()
@@ -89,7 +94,10 @@ class CosineSelfAttention(nn.Module):
             wkv = DenseParams(x.shape[-1], inner * 2,
                               axes=("embed", "heads"), use_bias=False,
                               policy=self.policy, name="to_kv")()
-            q, kv = fused_ln_qkv(
+            proj = (fused_ln_qkv_int8
+                    if self.attn_impl == "pallas_static_int8"
+                    else fused_ln_qkv)
+            q, kv = proj(
                 x.astype(self.policy.compute_dtype), gamma_ln, wq, wkv)
         else:
             x = ScaleLayerNorm(policy=self.policy, name="norm")(x)
@@ -150,6 +158,14 @@ class CosineSelfAttention(nn.Module):
             ring_axis=self.ring_axis, ring_chunk_impl=self.ring_chunk_impl,
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        if quantized and self.fuse_qkv:
+            # serving: W8A8 out-projection too (per-token activation scales)
+            from vit_exp_tpu.ops.fused_proj import int8_proj
+
+            w_out = DenseParams(inner, self.dim, axes=("heads", "embed"),
+                                use_bias=False, policy=self.policy,
+                                name="to_out")()
+            return int8_proj(out.astype(self.policy.compute_dtype), w_out)
         return PDense(self.dim, axes=("heads", "embed"), use_bias=False,
                       policy=self.policy, name="to_out")(out)
 

@@ -105,18 +105,24 @@ def seg_bce_loss(seg_logits: jnp.ndarray, seg_mask: jnp.ndarray) -> jnp.ndarray:
                                     seg_mask.astype(jnp.float32)))
 
 
-def dice_scores(seg_logits: jnp.ndarray, seg_mask: jnp.ndarray) -> jnp.ndarray:
-    """Per-class dice at 0.5 sigmoid threshold (ct_clip.py:1215-1222).
-
-    Returns (C,) — mean over batch of 2·|P∩G| / (|P|+|G|).
-    """
+def dice_scores_per_sample(
+    seg_logits: jnp.ndarray, seg_mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-sample per-class dice at 0.5 sigmoid threshold
+    (ct_clip.py:1215-1222).  Returns (B, C) of 2·|P∩G| / (|P|+|G|); NaN
+    where a class is absent from both prediction and ground truth."""
     preds = (jax.nn.sigmoid(seg_logits.astype(jnp.float32)) > 0.5).astype(
         jnp.float32
     )
     gt = seg_mask.astype(jnp.float32)
     inter = jnp.sum(preds * gt, axis=(2, 3, 4))
     union = jnp.sum(preds, axis=(2, 3, 4)) + jnp.sum(gt, axis=(2, 3, 4))
-    return jnp.mean(2.0 * inter / union, axis=0)
+    return 2.0 * inter / union
+
+
+def dice_scores(seg_logits: jnp.ndarray, seg_mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-class dice averaged over the batch — (C,)."""
+    return jnp.mean(dice_scores_per_sample(seg_logits, seg_mask), axis=0)
 
 
 # ---------------------------------------------------------------------------

@@ -24,6 +24,18 @@ from vit_exp_tpu.models.maskgit import (
 )
 
 
+def t5_text_encode(t5_encoder) -> Callable:
+    """Adapt models/t5_adapter.T5TextEncoder to the text_encode slot —
+    restores the reference's T5 conditioning (t5.py:64-104; the encoder's
+    d_model must match MaskGit.dim_context, get_encoded_dim semantics)."""
+
+    def encode(ids, mask):
+        states, _ = t5_encoder(ids, mask)
+        return states
+
+    return encode
+
+
 class MaskGITTransformer:
     """Functional orchestrator: holds modules + their variables."""
 

@@ -15,6 +15,7 @@ host cores (ctypes releases the GIL for the call's duration).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -24,6 +25,7 @@ import numpy as np
 
 _SRC = os.path.join(os.path.dirname(__file__), "packed_reader.cpp")
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "_packed_reader.so")
+_HASH_PATH = _LIB_PATH + ".srchash"
 
 _DTYPE_CODES = {
     np.dtype(np.float32): 0,
@@ -37,12 +39,24 @@ _lib = None
 _build_error: Optional[str] = None
 
 
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
 def _build() -> Optional[str]:
-    """Compile the .so if missing/stale.  Returns an error string or None."""
+    """Compile the .so if missing/stale.  Returns an error string or None.
+
+    Staleness is decided by a recorded sha256 of the source, not mtimes:
+    the .so is never committed (it is build output), and a binary whose
+    recorded hash doesn't match packed_reader.cpp is always rebuilt.
+    """
     try:
-        if (os.path.exists(_LIB_PATH)
-                and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)):
-            return None
+        want = _src_hash()
+        if os.path.exists(_LIB_PATH) and os.path.exists(_HASH_PATH):
+            with open(_HASH_PATH) as f:
+                if f.read().strip() == want:
+                    return None
         cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
                _SRC, "-o", _LIB_PATH + ".tmp"]
         proc = subprocess.run(cmd, capture_output=True, text=True,
@@ -50,6 +64,9 @@ def _build() -> Optional[str]:
         if proc.returncode != 0:
             return proc.stderr[:2000]
         os.replace(_LIB_PATH + ".tmp", _LIB_PATH)
+        with open(_HASH_PATH + ".tmp", "w") as f:
+            f.write(want)
+        os.replace(_HASH_PATH + ".tmp", _HASH_PATH)
         return None
     except Exception as e:  # no g++, read-only fs, ...
         return str(e)

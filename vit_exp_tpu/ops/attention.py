@@ -35,6 +35,34 @@ def l2norm(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return (x / jnp.maximum(n, eps).astype(x.dtype)).astype(x.dtype)
 
 
+def alibi_slopes(heads: int) -> jnp.ndarray:
+    """ALiBi per-head slopes (attention.py:307-318): geometric series
+    2^(-8/n)… for power-of-2 head counts, interleaved fallback otherwise."""
+
+    def pow2(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * start ** i for i in range(n)]
+
+    if math.log2(heads).is_integer():
+        s = pow2(heads)
+    else:
+        closest = 2 ** math.floor(math.log2(heads))
+        s = pow2(closest) + pow2(2 * closest)[0::2][: heads - closest]
+    return jnp.asarray(s, jnp.float32)
+
+
+def alibi_bias(heads: int, n_q: int, n_kv: int) -> jnp.ndarray:
+    """(heads, n_q, n_kv) additive logits bias (attention.py:291-333):
+    -|j - i| · slope_h, with queries aligned to the LAST n_q key positions
+    (the reference's arange(j - i, j) offset).  Pass as ``attn_bias`` to
+    cosine_attention; under null kv the bias is zero-padded onto the null
+    columns exactly like the reference's F.pad (attention.py:169-171)."""
+    i = jnp.arange(n_kv - n_q, n_kv)
+    j = jnp.arange(n_kv)
+    dist = -jnp.abs(j[None, :] - i[:, None]).astype(jnp.float32)
+    return alibi_slopes(heads)[:, None, None] * dist[None]
+
+
 def _xla_attention(q, k, v, scale, mask, attn_bias=None):
     logits = jnp.einsum(
         "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
@@ -73,6 +101,19 @@ def cosine_attention(
     b, h, n, d = q.shape
     if scale is None:
         scale = 1.0 / math.sqrt(d)
+    if quantized and scale * 1.5 ** 2 > 4.8:
+        # int8 static-max kernel constraint (_fwd_kernel_static_int8): the
+        # p-grid needs exp(logit − bound) ≥ 1/254 for typical rows, i.e. the
+        # worst-case logit magnitude scale·max|γ_q|·max|γ_k| must stay under
+        # ~4.8.  γ init is 10^log10(1)=1 and trained values stay O(1); 1.5 is
+        # a generous static envelope.  The naive scale=8 convention (factory
+        # attn_scale=8.0) underflows the grid and silently produces garbage —
+        # reject it here rather than in a docstring.
+        raise ValueError(
+            f"quantized=True requires the SDPA scale convention "
+            f"(scale=None → 1/√d); scale={scale} exceeds the int8 "
+            f"p-grid dynamic range (~4.8 logit bound)"
+        )
 
     nk = nv = None
     n_null = 0

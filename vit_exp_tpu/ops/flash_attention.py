@@ -379,7 +379,10 @@ def _fwd_kernel_static_int8(q_ref, qs_ref, k_ref, kst_ref, v_ref, vs_ref,
             ) * scale
             col = jax.lax.broadcasted_iota(jnp.int32, nl.shape, 1)
             nl = jnp.where(col < n_null, nl, NEG_INF)
-            p0 = jnp.round(jnp.exp(nl - bound) * 127.0)
+            # clip: per-row quantization error can push dequantized logits
+            # slightly above the fp-derived bound (~+0.8% worst case);
+            # round() would then yield 128, which wraps in int8
+            p0 = jnp.clip(jnp.round(jnp.exp(nl - bound) * 127.0), 0.0, 127.0)
             acc_ref[...] = jax.lax.dot_general(
                 p0.astype(jnp.int8), nv_ref[0], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
@@ -396,7 +399,8 @@ def _fwd_kernel_static_int8(q_ref, qs_ref, k_ref, kst_ref, v_ref, vs_ref,
         col = ik * block_k + jax.lax.broadcasted_iota(
             jnp.int32, logits.shape, 1)
         logits = jnp.where(col < kv_len, logits, NEG_INF)
-    p8 = jnp.round(jnp.exp(logits - bound) * 127.0).astype(jnp.int8)
+    p8 = jnp.clip(jnp.round(jnp.exp(logits - bound) * 127.0), 0.0, 127.0
+                  ).astype(jnp.int8)
     acc_ref[...] += jax.lax.dot_general(
         p8, v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,

@@ -182,3 +182,126 @@ def fused_ln_qkv(
     out = _core(x.reshape(-1, D), gamma, wf, eps, block_m, interpret)
     out = out.reshape(orig[:-1] + (out.shape[-1],))
     return out[..., :Fq], out[..., Fq:]
+
+
+# ---------------------------------------------------------------------------
+# int8 serving variants (no VJP) — W8A8 on the MXU at 2× the bf16 rate,
+# mirroring ops/geglu_ff.py's quantization scheme: per-output-channel int8
+# weights (quantized per dispatch, checkpoint-layout preserving) and
+# per-token dynamic int8 activations.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_int8_kernel(x_ref, mu_ref, inv_ref, w_ref, s_ref, o_ref):
+    xn = (x_ref[...].astype(jnp.float32) - mu_ref[...]) * inv_ref[...]
+    amax = jnp.max(jnp.abs(xn), axis=-1, keepdims=True)
+    sr = jnp.maximum(amax, 1e-8) / 127.0
+    q8 = jnp.clip(jnp.round(xn / sr), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        q8, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    o_ref[...] = (acc.astype(jnp.float32) * sr * s_ref[...]).astype(
+        o_ref.dtype)
+
+
+def fused_ln_qkv_int8(
+    x: jnp.ndarray,
+    gamma: jnp.ndarray,
+    wq: jnp.ndarray,
+    wkv: jnp.ndarray,
+    *,
+    eps: float = 1e-5,
+    block_m: int = DEFAULT_BLOCK_M,
+    interpret: bool | None = None,
+):
+    """Serving-only W8A8 fused_ln_qkv: γ folds into the weights BEFORE
+    per-channel quantization, the LN'd activations quantize per token
+    inside the kernel."""
+    from vit_exp_tpu.ops.geglu_ff import quantize_per_channel
+
+    if interpret is None:
+        interpret = _interpret_default()
+    orig = x.shape
+    D = x.shape[-1]
+    Fq = wq.shape[1]
+    wf = jnp.concatenate([wq, wkv], axis=1)
+    wf = (wf.astype(jnp.float32) * gamma.astype(jnp.float32)[:, None])
+    w8, sc = quantize_per_channel(wf)
+    x2 = x.reshape(-1, D)
+    M = x2.shape[0]
+    F = wf.shape[1]
+    mu, inv = _ln_stats(x2, eps)
+    pad_m = -(-M // block_m) * block_m
+    out = pl.pallas_call(
+        _fwd_int8_kernel,
+        grid=(pad_m // block_m,),
+        in_specs=[
+            pl.BlockSpec((block_m, D), lambda i: (i, 0)),
+            pl.BlockSpec((block_m, 1), lambda i: (i, 0)),
+            pl.BlockSpec((block_m, 1), lambda i: (i, 0)),
+            pl.BlockSpec((D, F), lambda i: (0, 0)),
+            pl.BlockSpec((1, F), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_m, F), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((pad_m, F), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(_pad_rows(x2, pad_m), _pad_rows(mu, pad_m),
+      _pad_rows(inv, pad_m, value=1.0), w8, sc[None, :])
+    out = out[:M].reshape(orig[:-1] + (F,))
+    return out[..., :Fq], out[..., Fq:]
+
+
+def _proj_int8_kernel(x_ref, w_ref, s_ref, o_ref):
+    xf = x_ref[...].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sr = jnp.maximum(amax, 1e-8) / 127.0
+    q8 = jnp.clip(jnp.round(xf / sr), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        q8, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    o_ref[...] = (acc.astype(jnp.float32) * sr * s_ref[...]).astype(
+        o_ref.dtype)
+
+
+def int8_proj(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    *,
+    block_m: int = DEFAULT_BLOCK_M,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Serving-only W8A8 bias-free projection x @ w (per-token activation
+    scales, per-channel weight scales) — used for the attention
+    out-projection under --int8."""
+    from vit_exp_tpu.ops.geglu_ff import quantize_per_channel
+
+    if interpret is None:
+        interpret = _interpret_default()
+    orig = x.shape
+    D = x.shape[-1]
+    F = w.shape[1]
+    w8, sc = quantize_per_channel(w.astype(jnp.float32))
+    x2 = x.reshape(-1, D)
+    M = x2.shape[0]
+    pad_m = -(-M // block_m) * block_m
+    out = pl.pallas_call(
+        _proj_int8_kernel,
+        grid=(pad_m // block_m,),
+        in_specs=[
+            pl.BlockSpec((block_m, D), lambda i: (i, 0)),
+            pl.BlockSpec((D, F), lambda i: (0, 0)),
+            pl.BlockSpec((1, F), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_m, F), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((pad_m, F), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(_pad_rows(x2, pad_m), w8, sc[None, :])
+    return out[:M].reshape(orig[:-1] + (F,))

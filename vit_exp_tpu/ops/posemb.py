@@ -23,10 +23,14 @@ import jax.numpy as jnp
 
 
 def _sincos_1d(embed_dim: int, pos: np.ndarray) -> np.ndarray:
+    # bit-for-bit the reference ops (ctvit3d.py:151-169): all-fp32 — the
+    # einsum, pow and sin/cos run at the same precision so converted
+    # checkpoints see the identical table
     assert embed_dim % 2 == 0
-    omega = np.arange(embed_dim // 2, dtype=np.float32) / (embed_dim / 2.0)
+    omega = np.arange(embed_dim // 2, dtype=np.float32)
+    omega /= embed_dim / 2.0
     omega = 1.0 / 10000**omega
-    out = np.einsum("m,d->md", pos.reshape(-1).astype(np.float64), omega)
+    out = np.einsum("m,d->md", pos.reshape(-1).astype(np.float32), omega)
     return np.concatenate([np.sin(out), np.cos(out)], axis=1)
 
 

@@ -60,7 +60,14 @@ def make_train_steps(
     """Returns {data_type: jitted step fn}.  Each fn:
     (state, batch_dict, loss_weight) → (state, metrics_dict)."""
 
-    def imagereport_loss(params, batch):
+    ca = config.ct_clip_arch
+    text_w = ca.text_ssl_loss_weight if ca.use_mlm else 0.0
+    image_w = ca.image_ssl_loss_weight if ca.use_visual_ssl else 0.0
+    # reference loss combine (ct_clip.py:1761-1765): contrastive weight
+    # yields to the enabled SSL terms
+    cl_w = 1.0 - (text_w + image_w)
+
+    def imagereport_loss(params, batch, rng):
         out = model.apply(
             {"params": params}, batch["image"], batch["input_ids"],
             batch.get("attention_mask"),
@@ -71,16 +78,64 @@ def make_train_steps(
             out["text_latents"], out["image_latents"], out["temperature"],
             local_batch_size=local_b,
         )
-        return loss, {"cl_loss": loss}
+        metrics = {"cl_loss": loss}
+        if text_w == 0.0 and image_w == 0.0:
+            return loss, metrics
+        total = cl_w * loss
+        mlm_rng, ssl_rng = jax.random.split(rng)
+        if ca.use_mlm:
+            from vit_exp_tpu.models import mlm as mlm_mod
 
-    def imageseg_loss(params, batch):
+            corrupted, loss_mask = mlm_mod.mlm_corrupt(
+                mlm_rng, batch["input_ids"],
+                mask_token_id=ca.mlm_mask_token_id,
+                vocab_size=model.bert_config.vocab_size,
+                mask_prob=ca.mlm_mask_prob,
+            )
+            logits = model.apply(
+                {"params": params}, corrupted, batch.get("attention_mask"),
+                method=CTCLIP.mlm_logits,
+            )
+            t_loss = mlm_mod.mlm_loss(logits, batch["input_ids"], loss_mask)
+            metrics["text_ssl_loss"] = t_loss
+            total = total + text_w * t_loss
+        if ca.use_visual_ssl:
+            from vit_exp_tpu.models import visual_ssl as vssl
+
+            r1, r2 = jax.random.split(ssl_rng)
+            v1 = vssl.random_augment_3d(r1, batch["image"])
+            v2 = vssl.random_augment_3d(r2, batch["image"])
+
+            def project(v):
+                return model.apply({"params": params}, v,
+                                   method=CTCLIP.ssl_project)
+
+            z1, z2 = project(v1), project(v2)
+            if ca.visual_ssl_type == "simsiam":
+                def predict(z):
+                    return model.apply({"params": params}, z,
+                                       method=CTCLIP.ssl_predict)
+
+                i_loss = vssl.simsiam_loss(predict(z1), z1, predict(z2), z2)
+            elif ca.visual_ssl_type == "simclr":
+                i_loss = vssl.nt_xent_loss(z1, z2)
+            else:
+                raise ValueError(
+                    f"unknown visual_ssl_type {ca.visual_ssl_type!r}")
+            metrics["image_ssl_loss"] = i_loss
+            total = total + image_w * i_loss
+        return total, metrics
+
+    def imageseg_loss(params, batch, rng):
+        del rng
         seg_logits = model.apply(
             {"params": params}, batch["image"], method=CTCLIP.seg_forward
         )
         loss = losses.seg_bce_loss(seg_logits, batch["seg_mask"])
         return loss, {"seg_loss": loss}
 
-    def imageopenseg_loss(params, batch):
+    def imageopenseg_loss(params, batch, rng):
+        del rng
         out = model.apply(
             {"params": params}, batch["image"], batch["prompt_ids"],
             batch.get("prompt_mask"),
@@ -118,8 +173,13 @@ def make_train_steps(
     for name, loss_fn in loss_fns.items():
 
         def step(state: TrainState, batch, loss_weight, _loss_fn=loss_fn):
+            # deterministic per-step rng for SSL corruption/augmentation
+            rng = jax.random.fold_in(
+                jax.random.PRNGKey(config.random_seed), state.step
+            )
+
             def weighted(params):
-                loss, metrics = _loss_fn(params, batch)
+                loss, metrics = _loss_fn(params, batch, rng)
                 # per-dataset balance_loss_weight (CTCLIPTrainer.py:603-606)
                 return loss * loss_weight, metrics
 
