@@ -190,8 +190,12 @@ def main():
         batch, text_len, iters = 4, 512, 5
         import os as _os
 
-        # BENCH_ATTN_IMPL=pallas_static_int8 → W8A8 serving attention
-        attn_impl = _os.environ.get("BENCH_ATTN_IMPL", "pallas_static")
+        # Serving default is the int8 path (int8-QK attention, W8A8 FF +
+        # qkv/out projections): 23.4 vs 20.x vol/s bf16, with end-to-end
+        # probability parity ≤0.02 vs fp32 enforced by
+        # tests/test_int8_parity.py.  BENCH_ATTN_IMPL=pallas_static /
+        # BENCH_FF_IMPL=pallas select the bf16 measurement.
+        attn_impl = _os.environ.get("BENCH_ATTN_IMPL", "pallas_static_int8")
     else:  # CPU smoke mode for development only
         arch = {
             "dim": 48, "image_size": 32, "patch_size": 8,
@@ -206,7 +210,7 @@ def main():
     import os
 
     ff_impl = os.environ.get(
-        "BENCH_FF_IMPL", "pallas" if on_tpu else "xla")
+        "BENCH_FF_IMPL", "pallas_int8" if on_tpu else "xla")
     model = build_ctclip(config, bert_config=bert_cfg, attn_impl=attn_impl,
                          ff_impl=ff_impl, fuse_qkv=on_tpu)
     a = config.arch

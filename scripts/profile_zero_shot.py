@@ -34,8 +34,14 @@ def main():
     bert_cfg = BertConfig()
     batch, text_len = 4, 512
     config = ExperimentConfig.from_dict({"arch": arch})
-    model = build_ctclip(config, bert_config=bert_cfg,
-                         attn_impl="pallas_static", ff_impl="pallas")
+    import os
+
+    model = build_ctclip(
+        config, bert_config=bert_cfg,
+        attn_impl=os.environ.get("BENCH_ATTN_IMPL", "pallas_static"),
+        ff_impl=os.environ.get("BENCH_FF_IMPL", "pallas"),
+        fuse_qkv=os.environ.get("BENCH_FUSE_QKV", "1") == "1",
+    )
     a = config.arch
     rng = np.random.default_rng(0)
     video = jnp.asarray(

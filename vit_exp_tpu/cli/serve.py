@@ -134,9 +134,12 @@ def main(argv=None):
                         "reads are restricted (omitted = path loads "
                         "disabled)")
     parser.add_argument("--vocab", default=None)
-    parser.add_argument("--int8", action="store_true",
-                        help="W8A8 feed-forward (faster serving, ~5% "
-                        "relative per-layer FF error)")
+    parser.add_argument("--int8", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="int8 serving path (int8-QK attention, W8A8 "
+                        "FF + projections; ~15%% faster, probability "
+                        "parity <=0.02 vs fp32 — tests/test_int8_parity"
+                        ".py).  --no-int8 for pure bf16")
     parser.add_argument("--warmup", action=argparse.BooleanOptionalAction,
                         default=True,
                         help="compile both programs before accepting "

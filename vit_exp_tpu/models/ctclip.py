@@ -129,11 +129,19 @@ class CTCLIP(nn.Module):
     # -- latents -----------------------------------------------------------
 
     def image_latents_from_tokens(self, tokens: jnp.ndarray) -> jnp.ndarray:
-        """Per-token projection → token mean → l2norm (ct_clip.py:1286-1316)."""
+        """Token mean → projection → l2norm.
+
+        The reference projects PER TOKEN then averages (ct_clip.py:
+        1286-1316); to_visual_latent is linear with no bias, so
+        mean(X)·W == mean(X·W) exactly — reordering turns a
+        (13824, 768)×(768, 768) matmul per volume into a cheap token-mean
+        reduction plus a (1, 768)×(768, 768) row (same value, fp rounding
+        only; parity covered by tests/test_convert.py)."""
         b = tokens.shape[0]
         flat = tokens.reshape(b, -1, tokens.shape[-1])
-        lat = self.to_visual_latent(flat)
-        return l2norm(jnp.mean(lat, axis=1).astype(jnp.float32))
+        pooled = jnp.mean(flat.astype(jnp.float32), axis=1)
+        lat = self.to_visual_latent(pooled.astype(flat.dtype))
+        return l2norm(lat.astype(jnp.float32))
 
     def text_latents_from_hidden(self, hidden: jnp.ndarray) -> jnp.ndarray:
         """CLS state → projection → l2norm (ct_clip.py:1300-1316)."""

@@ -102,17 +102,18 @@ def cosine_attention(
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     if quantized and scale * 1.5 ** 2 > 4.8:
-        # int8 static-max kernel constraint (_fwd_kernel_static_int8): the
-        # p-grid needs exp(logit − bound) ≥ 1/254 for typical rows, i.e. the
-        # worst-case logit magnitude scale·max|γ_q|·max|γ_k| must stay under
-        # ~4.8.  γ init is 10^log10(1)=1 and trained values stay O(1); 1.5 is
-        # a generous static envelope.  The naive scale=8 convention (factory
-        # attn_scale=8.0) underflows the grid and silently produces garbage —
-        # reject it here rather than in a docstring.
+        # int8 serving contract (_fwd_kernel_static_int8): logit
+        # quantization error grows linearly with `scale` (q/k land on a
+        # 1/127 grid BEFORE the ×scale), and exp amplifies it — the W8A8
+        # path is validated only for the production SDPA convention
+        # (scale=None → 1/√d, worst-case logits ≈ ±0.3).  The naive
+        # scale=8 convention (factory attn_scale=8.0) would push ±8·γ²
+        # logits through the int8 grid; reject it here rather than in a
+        # docstring (ADVICE round 1).
         raise ValueError(
             f"quantized=True requires the SDPA scale convention "
-            f"(scale=None → 1/√d); scale={scale} exceeds the int8 "
-            f"p-grid dynamic range (~4.8 logit bound)"
+            f"(scale=None → 1/√d); scale={scale} amplifies int8 "
+            f"quantization error beyond the validated envelope"
         )
 
     nk = nv = None

@@ -337,6 +337,9 @@ def _flash_fwd_static(q, k, v, nk, nv, bound, scale, kv_len, block_q, block_k,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # enough for 1152-block fp32 temporaries; higher limits compile
+            # but can abort the chip inside full programs
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*inputs)
@@ -345,23 +348,25 @@ def _flash_fwd_static(q, k, v, nk, nv, bound, scale, kv_len, block_q, block_k,
     return res[0], None
 
 
-def _fwd_kernel_static_int8(q_ref, qs_ref, k_ref, kst_ref, v_ref, vs_ref,
+def _fwd_kernel_static_int8(q_ref, qe_ref, qn_ref, k_ref, v_ref,
                             nk_ref, nv_ref, bound_ref, o_ref, acc_ref,
                             *, scale, kv_len, block_k, n_null, d_ones):
-    """W8A8 static-max forward (serving): QK^T and PV both run.
+    """int8-QK static-max forward (serving).
 
-    RANGE CONSTRAINT: p = exp(logits − B) must not underflow the int8 grid
-    (needs typical logits within ~4.8 of the bound, i.e. p·127 ≥ 1).  This
-    holds for the production SDPA convention (scale = 1/√32, logits
-    bounded by ±γ²/√d ≈ ±0.3) but NOT for the naive scale=8 convention —
-    use the bf16 static kernel there.
+    Only the QK^T matmul runs int8 — it is the contraction-32-limited one
+    (25% MXU depth at bf16, 2× rate at int8).  Everything downstream stays
+    exactly the bf16 static kernel: p in v.dtype, PV in bf16 (its limit is
+    the 32-lane OUTPUT, which int8 would not widen), ones-column
+    normalizer.  Dequantization is folded into a single (block_q, 1)
+    column multiply: qe = q_row_scale × k_global_scale × scale, computed
+    once in the XLA prologue — the all-int8 variant's five extra VPU
+    passes over the (block_q, block_k) logits block (two dequant
+    broadcasts, round, clip, int8 pack) measured SLOWER than bf16
+    (30.9 vs 17.8 ms/layer on v5e): at d=32 the MXU halving is ~4 ms but
+    the VPU work added ~13.
 
-    int8×int8→int32 on the MXU.  The static-max structure makes the
-    activation quantization exact-friendly: p = exp(logits − B) ∈ (0, 1],
-    so p quantizes at the FIXED scale 1/127 and the PV accumulator stays
-    int32 across kv blocks (max Σ 127·127·n ≈ 2.2e8 < 2³¹) — one f32
-    rescale at the end.  The softmax normalizer rides the ones column of v
-    (value 127 ↔ 1.0 at scale 1/127), as in the bf16 static kernel."""
+    del scale: folded into qe/qn by the wrapper."""
+    del scale
     ik = pl.program_id(2)
     n_k = pl.num_programs(2)
     bound = bound_ref[0]
@@ -369,23 +374,20 @@ def _fwd_kernel_static_int8(q_ref, qs_ref, k_ref, kst_ref, v_ref, vs_ref,
     @pl.when(ik == 0)
     def _init():
         if n_null:
-            # nulls stay fp: tiny (block_q, NULL_PAD) work, quantized only
-            # at the p/v grid so it lands in the same int32 units
+            # nulls stay fp: tiny (block_q, NULL_PAD) work off dequantized
+            # q8 (qn = q_row_scale × scale)
             nl = jax.lax.dot_general(
-                q_ref[0].astype(jnp.float32) * qs_ref[0],
+                q_ref[0].astype(jnp.float32),
                 nk_ref[0].astype(jnp.float32),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale
+            ) * qn_ref[0]
             col = jax.lax.broadcasted_iota(jnp.int32, nl.shape, 1)
             nl = jnp.where(col < n_null, nl, NEG_INF)
-            # clip: per-row quantization error can push dequantized logits
-            # slightly above the fp-derived bound (~+0.8% worst case);
-            # round() would then yield 128, which wraps in int8
-            p0 = jnp.clip(jnp.round(jnp.exp(nl - bound) * 127.0), 0.0, 127.0)
+            p0 = jnp.exp(nl - bound)
             acc_ref[...] = jax.lax.dot_general(
-                p0.astype(jnp.int8), nv_ref[0], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
+                p0.astype(nv_ref.dtype), nv_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
         else:
             acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -394,27 +396,22 @@ def _fwd_kernel_static_int8(q_ref, qs_ref, k_ref, kst_ref, v_ref, vs_ref,
         q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    logits = (acc_s.astype(jnp.float32) * qs_ref[0] * kst_ref[0]) * scale
+    logits = acc_s.astype(jnp.float32) * qe_ref[0]
     if kv_len % block_k != 0:
         col = ik * block_k + jax.lax.broadcasted_iota(
             jnp.int32, logits.shape, 1)
         logits = jnp.where(col < kv_len, logits, NEG_INF)
-    p8 = jnp.clip(jnp.round(jnp.exp(logits - bound) * 127.0), 0.0, 127.0
-                  ).astype(jnp.int8)
+    p = jnp.exp(logits - bound)
     acc_ref[...] += jax.lax.dot_general(
-        p8, v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(ik == n_k - 1)
     def _finish():
-        acc = acc_ref[...].astype(jnp.float32)
-        # clamp: if EVERY p underflowed the int8 grid (exp(logits − B)
-        # < 1/254 across the row — i.e. the bound is far above the actual
-        # logits) the row is meaningless anyway; avoid NaN poison
-        l = jnp.maximum(acc[:, d_ones:d_ones + 1], 1.0)
-        out = acc[:, :o_ref.shape[-1]] * vs_ref[..., :o_ref.shape[-1]]
-        o_ref[0] = (out * 127.0 / l).astype(o_ref.dtype)
+        acc = acc_ref[...]
+        l = acc[:, d_ones:d_ones + 1]
+        o_ref[0] = (acc[:, :o_ref.shape[-1]] / l).astype(o_ref.dtype)
 
 
 def _row_quant(x):
@@ -428,46 +425,41 @@ def _row_quant(x):
 
 def _flash_fwd_static_int8(q, k, v, nk, nv, bound, scale, kv_len, block_q,
                            block_k, interpret, n_null):
-    """int8 counterpart of _flash_fwd_static; returns out only (serving —
-    no lse, no VJP)."""
+    """int8-QK counterpart of _flash_fwd_static; returns out only (serving
+    — no lse, no VJP).  q quantizes per row, k with ONE global scale (rows
+    are unit-norm × shared per-dim γ after the cosine-sim prologue, so
+    their dynamic range is narrow); both scales and `scale` fold into the
+    (bh, n, 1) qe vector so the kernel pays a single column multiply."""
     bh, nq, dp = q.shape
     nkv = k.shape[1]
     grid = (bh, nq // block_q, nkv // block_k)
     dp_v = max(-(-(dp + 1) // 8) * 8, 8)
 
     q8, qs = _row_quant(q)
-    k8, ks = _row_quant(k)
-    kst = ks.reshape(bh, 1, nkv)  # transposed for the (1, block_k) row scale
-    # v: per-channel int8 over [v ++ null v]; the ones column sits at d_ones
-    # with value 127 (scale 1/127)
-    vall = jnp.concatenate([v, nv[:, :n_null]], axis=1) if n_null else v
-    vmax = jnp.max(jnp.abs(vall.astype(jnp.float32)), axis=(0, 1))
-    vs = jnp.maximum(vmax, 1e-8) / 127.0
+    kamax = jnp.max(jnp.abs(k.astype(jnp.float32)))
+    ks = jnp.maximum(kamax, 1e-8) / 127.0
+    k8 = jnp.clip(jnp.round(k.astype(jnp.float32) / ks), -127, 127
+                  ).astype(jnp.int8)
+    qe = (qs * ks * scale).astype(jnp.float32)       # dequant, one multiply
+    qn = (qs * scale).astype(jnp.float32)            # null-logit dequant
 
-    def quant_aug(x):
-        x8 = jnp.clip(
-            jnp.round(x.astype(jnp.float32) / vs), -127, 127
-        ).astype(jnp.int8)
-        ones = jnp.full((bh, x.shape[1], 1), 127, jnp.int8)
-        return _pad_axis(jnp.concatenate([x8, ones], axis=-1), dp_v, axis=2)
-
-    vs_row = _pad_axis(vs.reshape(1, dp), dp_v, axis=1)
+    def aug(x):
+        ones = jnp.ones((bh, x.shape[1], 1), x.dtype)
+        return _pad_axis(jnp.concatenate([x, ones], axis=-1), dp_v, axis=2)
 
     inputs = [
-        q8, qs, k8, kst, quant_aug(v), vs_row,
+        q8, qe, qn, k8, aug(v),
         nk.astype(jnp.float32) if n_null else jnp.zeros(
             (bh, NULL_PAD, dp), jnp.float32),
-        quant_aug(nv) if n_null else jnp.zeros(
-            (bh, NULL_PAD, dp_v), jnp.int8),
+        aug(nv) if n_null else jnp.zeros((bh, NULL_PAD, dp_v), v.dtype),
         jnp.reshape(bound.astype(jnp.float32), (1,)),
     ]
     in_specs = [
         pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0)),
         pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
         pl.BlockSpec((1, block_k, dp), lambda b, i, j: (b, j, 0)),
-        pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b, 0, j)),
         pl.BlockSpec((1, block_k, dp_v), lambda b, i, j: (b, j, 0)),
-        pl.BlockSpec((1, dp_v), lambda b, i, j: (0, 0)),
         pl.BlockSpec((1, NULL_PAD, dp), lambda b, i, j: (b, 0, 0)),
         pl.BlockSpec((1, NULL_PAD, dp_v), lambda b, i, j: (b, 0, 0)),
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -481,9 +473,12 @@ def _flash_fwd_static_int8(q, k, v, nk, nv, bound, scale, kv_len, block_q,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, nq, dp), jnp.bfloat16),
-        scratch_shapes=[pltpu.VMEM((block_q, dp_v), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((block_q, dp_v), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # enough for 1152-block fp32 temporaries; higher limits compile
+            # but can abort the chip inside full programs
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*inputs)
@@ -740,7 +735,8 @@ def _flash_bwd_fused(q, k, v, out, lse, g, scale, block_q, block_k,
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
             # 3 fp32 (block_q, block_k) temporaries + the full-seq dk/dv
             # scratch exceed the 16 MB default scoped-vmem cap at 1152
-            # blocks; the chip has far more physical VMEM
+            # blocks; do NOT raise further — 112 MB limits let standalone
+            # kernels compile but abort the chip inside full programs
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
@@ -935,6 +931,10 @@ def _block_plan(nq, nkv, d, block_q, block_k):
     1152 = 9×128 divides the production 13 824 = 24³ tokens; measured
     17.4 vs 19.5 ms against 1024 blocks + pad on v5e), clamp to the
     sequence, and round the head dim to the 8-sublane granule."""
+    # 2304 q-blocks measured faster standalone (16.98 vs 17.77 ms/layer
+    # bf16 static) but ABORT the chip inside the full classify program
+    # (VMEM over-subscription with co-resident buffers) — stay at 1152;
+    # pass block_q explicitly to experiment
     if block_q == DEFAULT_BLOCK_Q and nq % 1152 == 0:
         block_q = 1152
     if block_k == DEFAULT_BLOCK_K and nkv % 1152 == 0:

@@ -4,9 +4,11 @@ Capability parity:
 - EMA copy of the generator (ema-pytorch equivalent, ctvit_trainer.py:160);
 - separate discriminator optimizer at lr×0.01 (ctvit_trainer.py:160);
 - 3×generator-step : 1×discriminator-step schedule (305-347);
-- losses: recon MSE + commit + adversarial hinge, discriminator hinge + R1
-  gradient penalty (models/gan.py); VGG perceptual gated behind an optional
-  feature fn;
+- losses: recon MSE + perceptual + commit + adversarial hinge
+  (ctvit.py:515-519), discriminator hinge + R1 gradient penalty
+  (models/gan.py); VGG perceptual defaults ON via models/vgg.py (converted
+  torchvision weights when supplied, seeded random features otherwise —
+  the reference ctor defaults vgg=None and has no default either);
 - periodic reconstruction sampling for inspection (360-398) — saved as npz
   volumes (NIfTI export via data/nifti is write-free here; npz is the
   pipeline's working format).
@@ -52,12 +54,31 @@ class CTViTTrainer:
         adversarial_weight: float = 1.0,
         commit_weight: float = 1.0,
         perceptual_fn: Optional[Callable] = None,
+        use_perceptual: bool = True,
+        perceptual_weight: float = 1.0,
+        vgg_params=None,
         results_folder: str = "./results_ctvit",
         sample_every: int = 1000,
         seed: int = 0,
     ):
         self.model = model
         self.discr = SliceDiscriminator()
+        if perceptual_fn is None and use_perceptual:
+            # runnable default (the reference ctor defaults vgg=None and
+            # would crash at ctvit.py:499 without an injected torchvision
+            # vgg16): flax VGG16 features, pretrained when vgg_params is
+            # supplied (models/vgg.py::convert_torchvision_vgg16), seeded
+            # random features otherwise — random-convnet perceptual
+            # distances are a standard stand-in and keep the loss term live
+            from vit_exp_tpu.models.vgg import (
+                make_perceptual_fn,
+                random_vgg16_params,
+            )
+
+            if vgg_params is None:
+                vgg_params = random_vgg16_params(jax.random.PRNGKey(seed))
+            perceptual_fn = make_perceptual_fn(vgg_params)
+        self.perceptual_fn = perceptual_fn
         self.gen_steps_per_discr = gen_steps_per_discr
         self.sample_every = sample_every
         self.results_folder = results_folder
@@ -88,6 +109,7 @@ class CTViTTrainer:
         self._rng = rng
 
         mdl, discr = model, self.discr
+        perc_fn = self.perceptual_fn
 
         @jax.jit
         def gen_step(params, codebook, discr_params, gen_opt, video, rng):
@@ -101,13 +123,21 @@ class CTViTTrainer:
                     (recon.astype(jnp.float32) - video.astype(jnp.float32))
                     ** 2
                 )
-                frames = pick_random_frames(recon, rng)
+                # SAME frame indices for recon and input (ctvit.py:482-484)
+                b, _, t = video.shape[:3]
+                idx = jax.random.randint(rng, (b,), 0, t)
+                frames = jax.vmap(lambda v, i: v[:, i])(recon, idx)
                 fake_logits = discr.apply({"params": discr_params}, frames)
                 gen_loss = hinge_gen_loss(fake_logits)
                 total = (recon_loss + commit_weight * commit
                          + adversarial_weight * gen_loss)
+                perceptual = jnp.float32(0.0)
+                if perc_fn is not None:
+                    real_frames = jax.vmap(lambda v, i: v[:, i])(video, idx)
+                    perceptual = perc_fn(frames, real_frames)
+                    total = total + perceptual_weight * perceptual
                 aux = {"recon_loss": recon_loss, "commit_loss": commit,
-                       "gen_loss": gen_loss,
+                       "gen_loss": gen_loss, "perceptual_loss": perceptual,
                        "codebook": new_vars["codebook"]}
                 return total, aux
 
