@@ -29,6 +29,8 @@ _EXPORTS = {
     "CTViT": "vit_exp_tpu.models.ctvit",
     "MaskGit": "vit_exp_tpu.models.maskgit",
     "MaskGITTransformer": "vit_exp_tpu.models.maskgit_pipeline",
+    "TextTransformer": "vit_exp_tpu.models.fallback",
+    "VisionTransformer": "vit_exp_tpu.models.fallback",
     "build_ctclip": "vit_exp_tpu.models.factory",
     "build_image_encoder": "vit_exp_tpu.models.factory",
     "CTClipTrainer": "vit_exp_tpu.train.trainer",
