@@ -15,8 +15,11 @@ import json
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--int8", action="store_true",
-                        help="quantize the FF weights/activations to int8 (serving)")
+    parser.add_argument("--int8", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="int8 serving path (int8-QK attention + W8A8 "
+                        "FF/projections; probability parity <=0.02 vs fp32 "
+                        "- tests/test_int8_parity.py).  --no-int8 for bf16")
     parser.add_argument("--config", required=True)
     parser.add_argument("--model_path", default=None)
     parser.add_argument("--results_folder", required=True)
