@@ -1,0 +1,142 @@
+"""Producer variants for the 3-output W8A8 qkv kernel on the TPU.
+
+The 3-output form measured ~1 ms/layer slower than the 2-output one
+(1.54 vs 0.52 ms at the production shape) despite writing the same
+bytes.  Sweeps block_m and a variant that replaces the accumulator lane
+slices with three separate matmuls.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/ablate_qkv3.py
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vit_exp_tpu.ops.fused_proj import (
+        _ln_stats,
+        _pad_rows,
+        fused_ln_qkv3_int8,
+        fused_ln_qkv_int8,
+    )
+    from vit_exp_tpu.ops.geglu_ff import quantize_per_channel
+
+    assert jax.default_backend() == "tpu"
+    B, N, DIM, INNER = 4, 13824, 768, 256
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, N, DIM)), jnp.bfloat16)
+    gamma = jnp.asarray(rng.standard_normal(DIM) * 0.1 + 1, jnp.float32)
+    wq = jnp.asarray(rng.standard_normal((DIM, INNER)) * 0.03, jnp.float32)
+    wkv = jnp.asarray(
+        rng.standard_normal((DIM, 2 * INNER)) * 0.03, jnp.float32)
+
+    def kernel_3dot(x_ref, mu_ref, inv_ref, wq_ref, wk_ref, wv_ref,
+                    sq_ref, sk_ref, sv_ref, oq_ref, ok_ref, ov_ref):
+        xn = (x_ref[...].astype(jnp.float32) - mu_ref[...]) * inv_ref[...]
+        amax = jnp.max(jnp.abs(xn), axis=-1, keepdims=True)
+        sr = jnp.maximum(amax, 1e-8) / 127.0
+        q8 = jnp.clip(jnp.round(xn / sr), -127, 127).astype(jnp.int8)
+        for w_ref, s_ref, o_ref in ((wq_ref, sq_ref, oq_ref),
+                                    (wk_ref, sk_ref, ok_ref),
+                                    (wv_ref, sv_ref, ov_ref)):
+            acc = jax.lax.dot_general(
+                q8, w_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            o_ref[...] = (acc.astype(jnp.float32) * sr * s_ref[...]
+                          ).astype(o_ref.dtype)
+
+    def qkv3_3dot(xi, block_m):
+        D, Fq = DIM, INNER
+        wf = jnp.concatenate([wq, wkv], axis=1)
+        wf = wf * gamma[:, None]
+        w8, sc = quantize_per_channel(wf)
+        x2 = xi.reshape(-1, D)
+        M = x2.shape[0]
+        mu, inv = _ln_stats(x2, 1e-5)
+        pad_m = -(-M // block_m) * block_m
+        outs = pl.pallas_call(
+            kernel_3dot,
+            grid=(pad_m // block_m,),
+            in_specs=[
+                pl.BlockSpec((block_m, D), lambda i: (i, 0)),
+                pl.BlockSpec((block_m, 1), lambda i: (i, 0)),
+                pl.BlockSpec((block_m, 1), lambda i: (i, 0)),
+                pl.BlockSpec((D, Fq), lambda i: (0, 0)),
+                pl.BlockSpec((D, Fq), lambda i: (0, 1)),
+                pl.BlockSpec((D, Fq), lambda i: (0, 2)),
+                pl.BlockSpec((1, Fq), lambda i: (0, 0)),
+                pl.BlockSpec((1, Fq), lambda i: (0, 1)),
+                pl.BlockSpec((1, Fq), lambda i: (0, 2)),
+            ],
+            out_specs=[
+                pl.BlockSpec((block_m, Fq), lambda i: (i, 0)),
+                pl.BlockSpec((block_m, Fq), lambda i: (i, 0)),
+                pl.BlockSpec((block_m, Fq), lambda i: (i, 0)),
+            ],
+            out_shape=[jax.ShapeDtypeStruct((pad_m, Fq), xi.dtype)] * 3,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+        )(_pad_rows(x2, pad_m), _pad_rows(mu, pad_m),
+          _pad_rows(inv, pad_m, value=1.0), w8, w8, w8,
+          sc[None, :], sc[None, :], sc[None, :])
+        return outs
+
+    def timed(name, fn, iters=8):
+        def loop(n):
+            @jax.jit
+            def run(xi):
+                acc = jnp.float32(0.0)
+                xx = xi
+                for _ in range(n):
+                    out = fn(xx)
+                    if isinstance(out, (tuple, list)):
+                        s = sum(jnp.sum(o.astype(jnp.float32)) for o in out)
+                    else:
+                        s = jnp.sum(out.astype(jnp.float32))
+                    xx = xx * (1.0 + 1e-9 * s).astype(xx.dtype)
+                    acc = acc + s
+                return acc
+            return run
+        r1, rk = loop(1), loop(1 + iters)
+        float(r1(x)); float(rk(x))
+        xf = jax.block_until_ready(
+            jax.jit(lambda t, s: t * s)(x, jnp.bfloat16(1.0003)))
+        t0 = time.perf_counter(); float(r1(xf))
+        d1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(rk(xf))
+        dk = time.perf_counter() - t0
+        ms = (dk - d1) / iters * 1e3
+        print(f"{name:28s} {ms:8.2f} ms/iter", flush=True)
+
+    def safe(name, fn):
+        sel = sys.argv[1:]
+        if sel and not any(s in name for s in sel):
+            return
+        try:
+            timed(name, fn)
+        except Exception as e:
+            print(f"{name:28s} FAILED: {str(e)[:200]}", flush=True)
+
+    safe("2out_256(cur)", lambda xi: fused_ln_qkv_int8(xi, gamma, wq, wkv))
+    safe("3out_256(cur)", lambda xi: fused_ln_qkv3_int8(xi, gamma, wq, wkv))
+    safe("3out_512", lambda xi: fused_ln_qkv3_int8(
+        xi, gamma, wq, wkv, block_m=512))
+    safe("3out_1024", lambda xi: fused_ln_qkv3_int8(
+        xi, gamma, wq, wkv, block_m=1024))
+    safe("3dot_256", lambda xi: qkv3_3dot(xi, 256))
+    safe("3dot_512", lambda xi: qkv3_3dot(xi, 512))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,7 +47,7 @@ def main():
     params = nn.unbox(model.init(
         jax.random.PRNGKey(0), video[:1], prompt_ids, prompt_mask
     ))["params"]
-    text_latents = jnp.zeros((36, 512), jnp.float32)
+    text_latents = jnp.zeros((36, 768), jnp.float32)
 
     def classify(params, video, text_latents):
         tokens = model.apply({"params": params}, video,

@@ -403,3 +403,171 @@ def test_int8_proj_close_to_fp32():
     got = int8_proj(x, w, block_m=16)
     err = float(jnp.max(jnp.abs(got - ref))) / float(jnp.max(jnp.abs(ref)))
     assert err < 0.03, err
+
+
+def _pack(t):
+    """(b, h, n, d) → packed (b, n, h·d)."""
+    b, h, n, d = t.shape
+    return jnp.asarray(t).transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+
+def _unpack(t, h):
+    b, n, hd = t.shape
+    return np.asarray(t).reshape(b, n, h, hd // h).transpose(0, 2, 1, 3)
+
+
+def test_fused_ln_qkv3_int8_matches_2out():
+    """3-output W8A8 qkv kernel == column splits of the 2-output one
+    (identical quantization → identical values; only the in-kernel copy
+    pattern differs)."""
+    from vit_exp_tpu.ops.fused_proj import (
+        fused_ln_qkv3_int8,
+        fused_ln_qkv_int8,
+    )
+
+    rng = np.random.default_rng(7)
+    B, M, D, Fq = 2, 33, 64, 128
+    Fkv = 2 * Fq
+    x = jnp.asarray(rng.standard_normal((B, M, D)).astype(np.float32))
+    gamma = jnp.asarray((1 + 0.1 * rng.standard_normal(D)).astype(np.float32))
+    wq = jnp.asarray(rng.standard_normal((D, Fq)).astype(np.float32)
+                     / np.sqrt(D))
+    wkv = jnp.asarray(rng.standard_normal((D, Fkv)).astype(np.float32)
+                      / np.sqrt(D))
+    q2, kv2 = fused_ln_qkv_int8(x, gamma, wq, wkv, block_m=16)
+    k2, v2 = jnp.split(kv2, 2, axis=-1)
+    q3, k3, v3 = fused_ln_qkv3_int8(x, gamma, wq, wkv, block_m=16)
+    for got, ref in ((q3, q2), (k3, k2), (v3, v2)):
+        assert got.shape == (B, M, Fq)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6)
+
+
+def test_cosine_attention_packed_matches_transpose_path():
+    """Heads-packed serving entry (in-kernel lane-slice head separation)
+    vs the transpose-layout int8 static kernel.  Both quantize q per row
+    per head and k with one global scale, but the hp path computes the
+    row scales AFTER packing while the transpose path computes them on
+    (b,h,n,d) — identical values, so outputs agree to numerical noise."""
+    from vit_exp_tpu.ops.attention import cosine_attention_packed
+
+    ins = _make_inputs(b=2, h=4, n=64, d=32, seed=11)
+    b, h, n, d = ins["q"].shape
+    ref = cosine_attention(
+        jnp.asarray(ins["q"]), jnp.asarray(ins["k"]), jnp.asarray(ins["v"]),
+        null_k=jnp.asarray(ins["null_k"]), null_v=jnp.asarray(ins["null_v"]),
+        q_scale=jnp.asarray(ins["q_scale"]), k_scale=jnp.asarray(ins["k_scale"]),
+        impl="pallas", static_max=True, quantized=True,
+    )
+    got = cosine_attention_packed(
+        _pack(ins["q"]), _pack(ins["k"]), _pack(ins["v"]), h,
+        null_k=jnp.asarray(ins["null_k"]), null_v=jnp.asarray(ins["null_v"]),
+        q_scale=jnp.asarray(ins["q_scale"]), k_scale=jnp.asarray(ins["k_scale"]),
+        quantized=True,
+    )
+    np.testing.assert_allclose(_unpack(got, h), np.asarray(ref), atol=2e-2,
+                               rtol=1e-2)
+
+
+def test_cosine_attention_packed_bf16_matches_torch():
+    """Heads-packed bf16 static-max path (quantized=False) vs the torch
+    oracle at bf16 tolerance."""
+    from vit_exp_tpu.ops.attention import cosine_attention_packed
+
+    ins = _make_inputs(b=1, h=4, n=32, d=32, seed=13)
+    b, h, n, d = ins["q"].shape
+    ref = _torch_oracle(scale=1.0 / math.sqrt(d), **ins)
+    got = cosine_attention_packed(
+        _pack(ins["q"]), _pack(ins["k"]), _pack(ins["v"]), h,
+        null_k=jnp.asarray(ins["null_k"]), null_v=jnp.asarray(ins["null_v"]),
+        q_scale=jnp.asarray(ins["q_scale"]), k_scale=jnp.asarray(ins["k_scale"]),
+        quantized=False,
+    )
+    np.testing.assert_allclose(
+        _unpack(got, h).astype(np.float32), ref, atol=3e-2, rtol=3e-2)
+
+
+def test_cosine_attention_packed_no_null_kv():
+    """hp kernel's zero-init path (no null kv) vs the torch oracle."""
+    from vit_exp_tpu.ops.attention import cosine_attention_packed
+
+    ins = _make_inputs(b=1, h=4, n=32, d=32, seed=19, n_null=0)
+    b, h, n, d = ins["q"].shape
+    ref = _torch_oracle(scale=1.0 / math.sqrt(d), **ins)
+    got = cosine_attention_packed(
+        _pack(ins["q"]), _pack(ins["k"]), _pack(ins["v"]), h,
+        q_scale=jnp.asarray(ins["q_scale"]), k_scale=jnp.asarray(ins["k_scale"]),
+        quantized=False,
+    )
+    np.testing.assert_allclose(
+        _unpack(got, h).astype(np.float32), ref, atol=3e-2, rtol=3e-2)
+
+
+def test_cosine_attention_packed_v_group_offset():
+    """v read in place out of a combined kv tensor (v_group_offset) ==
+    passing the v half explicitly — the production serving wiring."""
+    from vit_exp_tpu.ops.attention import cosine_attention_packed
+
+    ins = _make_inputs(b=2, h=4, n=64, d=32, seed=29)
+    b, h, n, d = ins["q"].shape
+    kw = dict(
+        null_k=jnp.asarray(ins["null_k"]), null_v=jnp.asarray(ins["null_v"]),
+        q_scale=jnp.asarray(ins["q_scale"]),
+        k_scale=jnp.asarray(ins["k_scale"]), quantized=True,
+    )
+    kp, vp = _pack(ins["k"]), _pack(ins["v"])
+    kv = jnp.concatenate([kp, vp], axis=-1)
+    ref = cosine_attention_packed(_pack(ins["q"]), kp, vp, h, **kw)
+    got = cosine_attention_packed(
+        _pack(ins["q"]), kv[..., :h * d], kv, h,
+        v_group_offset=h * d // 128, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_cosine_attention_packed_fallback_on_odd_head_dim():
+    """d=20 violates the lane-granule contract → packed entry point
+    silently falls back to the transpose path with identical semantics."""
+    from vit_exp_tpu.ops.attention import cosine_attention_packed
+
+    ins = _make_inputs(b=1, h=2, n=16, d=20, seed=17)
+    b, h, n, d = ins["q"].shape
+    ref = cosine_attention(
+        jnp.asarray(ins["q"]), jnp.asarray(ins["k"]), jnp.asarray(ins["v"]),
+        null_k=jnp.asarray(ins["null_k"]), null_v=jnp.asarray(ins["null_v"]),
+        q_scale=jnp.asarray(ins["q_scale"]), k_scale=jnp.asarray(ins["k_scale"]),
+        impl="pallas", static_max=True, quantized=True,
+    )
+    got = cosine_attention_packed(
+        _pack(ins["q"]), _pack(ins["k"]), _pack(ins["v"]), h,
+        null_k=jnp.asarray(ins["null_k"]), null_v=jnp.asarray(ins["null_v"]),
+        q_scale=jnp.asarray(ins["q_scale"]), k_scale=jnp.asarray(ins["k_scale"]),
+        quantized=True,
+    )
+    np.testing.assert_allclose(_unpack(got, h), np.asarray(ref), atol=1e-6)
+
+
+def test_packed_int8_module_param_tree_matches_bf16():
+    """The packed serving branch creates the SAME param tree as the bf16
+    fused path — int8 and bf16 checkpoints stay interchangeable — and its
+    output stays within the int8 envelope of the bf16 fused path."""
+    from vit_exp_tpu.models.ctvit3d import CosineSelfAttention
+
+    rng = np.random.default_rng(23)
+    b, n, dim, heads, dim_head = 1, 32, 64, 4, 32
+    x = jnp.asarray(rng.standard_normal((b, n, dim)).astype(np.float32))
+
+    kw = dict(dim=dim, heads=heads, dim_head=dim_head, scale=None,
+              fuse_qkv=True)
+    m8 = CosineSelfAttention(attn_impl="pallas_static_int8", **kw)
+    m16 = CosineSelfAttention(attn_impl="pallas_static", **kw)
+    p8 = m8.init(jax.random.PRNGKey(0), x)["params"]
+    p16 = m16.init(jax.random.PRNGKey(0), x)["params"]
+    t8 = jax.tree.map(lambda a: (a.shape, str(a.dtype)), p8)
+    t16 = jax.tree.map(lambda a: (a.shape, str(a.dtype)), p16)
+    assert t8 == t16
+
+    out8 = m8.apply({"params": p16}, x)
+    out16 = m16.apply({"params": p16}, x)
+    scale = float(jnp.max(jnp.abs(out16)))
+    err = float(jnp.max(jnp.abs(out8 - out16))) / max(scale, 1e-6)
+    assert err < 0.05, err

@@ -85,6 +85,7 @@ class CosineSelfAttention(nn.Module):
                 fused_ln_qkv,
                 fused_ln_qkv_int8,
             )
+            from vit_exp_tpu.ops.flash_attention import hp_supported
 
             gamma_ln = ScaleLNParams(x.shape[-1], policy=self.policy,
                                      name="norm")()
@@ -94,6 +95,19 @@ class CosineSelfAttention(nn.Module):
             wkv = DenseParams(x.shape[-1], inner * 2,
                               axes=("embed", "heads"), use_bias=False,
                               policy=self.policy, name="to_kv")()
+            if (self.attn_impl == "pallas_static_int8" and mask is None
+                    and inner % 128 == 0
+                    and hp_supported(n, n, self.heads, self.dim_head)):
+                # heads-packed serving fast path: the qkv kernel emits
+                # separate packed (b, n, inner) q/k/v (lane-aligned VMEM
+                # splits), the attention kernel separates heads with
+                # in-kernel lane slices, and the packed output feeds the
+                # W8A8 out-projection directly — no head transposes / kv
+                # splits ever hit HBM (the device trace showed them at
+                # ~2.2 GB per batch-4 classify dispatch).  Param tree
+                # identical.
+                return self._packed_int8_attention(
+                    x, gamma_ln, wq, wkv, b, n, inner)
             proj = (fused_ln_qkv_int8
                     if self.attn_impl == "pallas_static_int8"
                     else fused_ln_qkv)
@@ -168,6 +182,48 @@ class CosineSelfAttention(nn.Module):
             return int8_proj(out.astype(self.policy.compute_dtype), w_out)
         return PDense(self.dim, axes=("heads", "embed"), use_bias=False,
                       policy=self.policy, name="to_out")(out)
+
+    def _packed_int8_attention(self, x, gamma_ln, wq, wkv, b, n, inner):
+        """Zero-relayout serving attention: packed q/k/v from the
+        3-output W8A8 qkv kernel → heads-packed int8 attention → W8A8
+        out-projection.  Creates the SAME params (null_kv, q_scale,
+        k_scale, to_out) as the transpose path, so checkpoints are
+        interchangeable.  (The alternative 2-out + v_group_offset wiring
+        measured 0.5 ms/layer SLOWER end-to-end: the strided v reads out
+        of the wide kv array cost more than the 3-output producer's
+        extra ms — see scripts/ablate_hp_serving.py.)"""
+        from vit_exp_tpu.ops.attention import cosine_attention_packed
+        from vit_exp_tpu.ops.fused_proj import fused_ln_qkv3_int8, int8_proj
+
+        q, k, v = fused_ln_qkv3_int8(
+            x.astype(self.policy.compute_dtype), gamma_ln, wq, wkv)
+
+        null_kv = self.param(
+            "null_kv",
+            _logical_init(nn.initializers.normal(1.0), ("heads", None, "kv")),
+            (self.heads, 2 * self.num_null_kv, self.dim_head),
+            self.policy.param_dtype,
+        )
+        nkv = null_kv.reshape(self.heads, self.num_null_kv, 2, self.dim_head)
+        null_k, null_v = nkv[:, :, 0], nkv[:, :, 1]
+        q_scale = self.param(
+            "q_scale", _logical_init(nn.initializers.ones_init(), ("kv",)),
+            (self.dim_head,), self.policy.param_dtype,
+        )
+        k_scale = self.param(
+            "k_scale", _logical_init(nn.initializers.ones_init(), ("kv",)),
+            (self.dim_head,), self.policy.param_dtype,
+        )
+        out = cosine_attention_packed(
+            q, k, v, self.heads,
+            null_k=null_k, null_v=null_v,
+            q_scale=q_scale, k_scale=k_scale, scale=self.scale,
+            quantized=True,
+        )
+        w_out = DenseParams(inner, self.dim, axes=("heads", "embed"),
+                            use_bias=False, policy=self.policy,
+                            name="to_out")()
+        return int8_proj(out.astype(self.policy.compute_dtype), w_out)
 
 
 class TransformerBlock(nn.Module):

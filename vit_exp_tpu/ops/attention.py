@@ -77,6 +77,98 @@ def _xla_attention(q, k, v, scale, mask, attn_bias=None):
     ).astype(v.dtype)
 
 
+def cosine_attention_packed(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    *,
+    null_k: Optional[jnp.ndarray] = None,
+    null_v: Optional[jnp.ndarray] = None,
+    q_scale: Optional[jnp.ndarray] = None,
+    k_scale: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    quantized: bool = False,
+    v_group_offset: int = 0,
+) -> jnp.ndarray:
+    """Serving fast path of cosine_attention on PACKED head layout.
+
+    q/k/v: (b, n, heads·d) — exactly what the qkv projection emits and
+    the out-projection consumes.  null_k/null_v: (heads, n_null, d).
+    Returns (b, n, heads·d).  Same semantics as
+    cosine_attention(static_max=True, quantized=...): null kv prepend →
+    l2norm → per-dim scales → bounded-logit softmax.  The cosine
+    prologue is pure elementwise on free (b, n, h, d) views (one fused
+    HBM pass, no relayout) and the heads-packed kernel
+    (flash_attention_serving_hp) separates heads with in-kernel lane
+    slices — none of the (b,h,n,d) transpose / kv-split / quantize
+    copies of the transpose path are materialized (~2.2 GB HBM traffic
+    per production batch-4 classify dispatch).  Falls back to
+    cosine_attention when the hp shape contract doesn't hold (ragged
+    blocks, head dims not dividing the 128-lane granule).
+
+    v_group_offset: pass the COMBINED (b, n, 2·heads·d) kv tensor from
+    the fused qkv projection as `v` with v_group_offset = heads·d // 128
+    and the kernel reads the v half in place — the kv split never hits
+    HBM (k should then be the lazy slice kv[..., :heads·d], which XLA
+    fuses into the quantize prologue)."""
+    b, n, hd = q.shape
+    assert hd % heads == 0
+    d = hd // heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if quantized and scale * 1.5 ** 2 > 4.8:
+        raise ValueError(
+            f"quantized=True requires the SDPA scale convention "
+            f"(scale=None → 1/√d); scale={scale} amplifies int8 "
+            f"quantization error beyond the validated envelope"
+        )
+
+    from vit_exp_tpu.ops.flash_attention import (
+        flash_attention_serving_hp,
+        hp_supported,
+    )
+
+    if not hp_supported(n, k.shape[1], heads, d):
+        def unpack(t):
+            return t.reshape(b, -1, heads, d).transpose(0, 2, 1, 3)
+
+        off = v_group_offset * 128
+        out = cosine_attention(
+            unpack(q), unpack(k), unpack(v[..., off:off + hd]),
+            null_k=null_k, null_v=null_v,
+            q_scale=q_scale, k_scale=k_scale, scale=scale,
+            impl="pallas", static_max=True, quantized=quantized,
+        )
+        return out.transpose(0, 2, 1, 3).reshape(b, n, hd)
+
+    def prep(x, sc):
+        x4 = l2norm(x.reshape(b, x.shape[1], heads, d))
+        if sc is not None:
+            x4 = x4 * sc.astype(x4.dtype)
+        return x4.reshape(b, x.shape[1], hd)
+
+    qp = prep(q, q_scale)
+    kp = prep(k, k_scale)
+    nk = nv = None
+    if null_k is not None:
+        nk = l2norm(null_k.astype(jnp.float32))
+        if k_scale is not None:
+            nk = nk * k_scale.astype(nk.dtype)
+        nv = null_v.astype(v.dtype)
+    bq = (jnp.max(jnp.abs(q_scale)) if q_scale is not None
+          else jnp.float32(1.0))
+    bk = (jnp.max(jnp.abs(k_scale)) if k_scale is not None
+          else jnp.float32(1.0))
+    logit_bound = (bq * bk).astype(jnp.float32) * scale
+    return flash_attention_serving_hp(
+        qp, kp, v, heads,
+        logit_bound=logit_bound, scale=scale,
+        null_k=nk, null_v=nv, quantized=quantized,
+        v_group_offset=v_group_offset,
+    )
+
+
 def cosine_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

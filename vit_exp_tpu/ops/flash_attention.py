@@ -486,6 +486,242 @@ def _flash_fwd_static_int8(q, k, v, nk, nv, bound, scale, kv_len, block_q,
 
 
 # ---------------------------------------------------------------------------
+# heads-packed serving forward: zero-relayout packed path
+# ---------------------------------------------------------------------------
+
+LANES = 128
+
+
+def hp_supported(n_q: int, n_kv: int, heads: int, d: int,
+                 block_q: int = DEFAULT_BLOCK_Q,
+                 block_k: int = DEFAULT_BLOCK_K) -> bool:
+    """True when flash_attention_serving_hp's shape contract holds: head
+    dim a sublane multiple dividing the 128-lane granule, the packed
+    width a lane-granule multiple, and the planned block edges dividing
+    both sequence lengths exactly (the packed wrapper carries no row
+    padding — callers fall back to the transpose path otherwise)."""
+    if d % 8 or d < 8 or LANES % d or (heads * d) % LANES:
+        return False
+    _, _, nq_pad, nkv_pad, dp = _block_plan(n_q, n_kv, d, block_q, block_k)
+    return nq_pad == n_q and nkv_pad == n_kv and dp == d
+
+
+def _fwd_kernel_static_hp(q_ref, qe_ref, qn_ref, k_ref, v_ref,
+                          nk_ref, nv_ref, bound_ref, o_ref,
+                          acc_ref, accl_ref,
+                          *, kv_len, block_k, n_null, d, hpg):
+    """Static-max forward on HEADS-PACKED layout: hpg (=128//d) heads
+    share one 128-lane block; heads are separated by in-kernel 32-lane
+    slices (Mosaic lowers aligned lane extracts/concats; the XLA-side
+    (b,n,h,d)→(b,h,n,d) transposes these replace cost ~2.2 GB of HBM
+    copies per production batch-4 classify dispatch).
+
+    Works for both the int8-QK serving path (q/k int8; logits dequantized
+    by the per-row qe column = q_row_scale × k_global_scale × scale) and
+    the bf16 static path (the wrapper passes qe = qn = scale).  p/PV stay
+    bf16 in both (PV's limit is its d-lane output).  The per-head softmax
+    normalizer rides the MXU via a ones column concatenated onto each
+    head's v slice; null-kv logits (NULL_PAD wide) are cheap VPU sums.
+    One grid step does hpg heads → 4× fewer grid steps than the
+    per-(batch,head) kernels (the static forward is scheduling-bound)."""
+    ik = pl.program_id(3)
+    n_k = pl.num_programs(3)
+    bound = bound_ref[0]
+    q = q_ref[0]                                     # (bq, hpg·d)
+    int8_qk = q.dtype == jnp.int8
+    acc_t = jnp.int32 if int8_qk else jnp.float32
+
+    @pl.when(ik == 0)
+    def _init():
+        if n_null:
+            nk = nk_ref[0]                           # (NULL_PAD, hpg·d) f32
+            nv = nv_ref[0]
+            o_parts, l_parts = [], []
+            for hh in range(hpg):
+                sl = slice(hh * d, (hh + 1) * d)
+                nl = jax.lax.dot_general(
+                    q[:, sl].astype(jnp.float32), nk[:, sl],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * qn_ref[0, 0][:, hh:hh + 1]
+                col = jax.lax.broadcasted_iota(jnp.int32, nl.shape, 1)
+                nl = jnp.where(col < n_null, nl, NEG_INF)
+                p0 = jnp.exp(nl - bound)             # (bq, NULL_PAD)
+                o_parts.append(jax.lax.dot_general(
+                    p0.astype(nv.dtype), nv[:, sl], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+                # NULL_PAD-wide sum: trivial VPU work (the block_k-wide
+                # normalizer is the one that must ride the MXU)
+                l_parts.append(jnp.sum(p0, axis=-1, keepdims=True))
+            acc_ref[...] = jnp.concatenate(o_parts, axis=-1)
+            accl_ref[...] = jnp.concatenate(l_parts, axis=-1)
+        else:
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            accl_ref[...] = jnp.zeros_like(accl_ref)
+
+    k = k_ref[0]
+    v = v_ref[0]
+    ones = jnp.ones((v.shape[0], 1), v.dtype)
+    o_parts, l_parts = [], []
+    for hh in range(hpg):
+        sl = slice(hh * d, (hh + 1) * d)
+        acc_s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=acc_t,
+        )
+        logits = acc_s.astype(jnp.float32) * qe_ref[0, 0][:, hh:hh + 1]
+        if kv_len % block_k != 0:
+            col = ik * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < kv_len, logits, NEG_INF)
+        p = jnp.exp(logits - bound)
+        vh = jnp.concatenate([v[:, sl], ones], axis=-1)  # (bk, d+1)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_parts.append(pv[:, :d])
+        l_parts.append(pv[:, d:d + 1])
+    acc_ref[...] += jnp.concatenate(o_parts, axis=-1)
+    accl_ref[...] += jnp.concatenate(l_parts, axis=-1)
+
+    @pl.when(ik == n_k - 1)
+    def _finish():
+        acc = acc_ref[...]
+        l = accl_ref[...]                            # (bq, hpg)
+        o_ref[0] = jnp.concatenate(
+            [acc[:, hh * d:(hh + 1) * d] / l[:, hh:hh + 1]
+             for hh in range(hpg)], axis=-1).astype(o_ref.dtype)
+
+
+def flash_attention_serving_hp(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    *,
+    logit_bound: jnp.ndarray,
+    scale: Optional[float] = None,
+    null_k: Optional[jnp.ndarray] = None,
+    null_v: Optional[jnp.ndarray] = None,
+    quantized: bool = True,
+    v_group_offset: int = 0,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Static-max serving forward on PACKED head layout.
+
+    q/k/v: (b, n, heads·d) — exactly what the fused qkv projection emits
+    and int8_proj consumes, with the cosine prologue (l2norm + per-dim
+    scales) already applied on free (b, n, h, d) views.  null_k/null_v:
+    (heads, n_null, d), prologue already applied to null_k.  Returns
+    (b, n, heads·d).  quantized=True runs int8 QK (per-head per-row q
+    scales × one global k scale folded with `scale` into the qe column);
+    False runs bf16 QK.  Callers must check hp_supported().
+
+    v_group_offset: v's lane-group index offset — pass the COMBINED
+    (b, n, 2·heads·d) kv tensor straight from fused_ln_qkv_int8 as `v`
+    with v_group_offset = heads·d // 128, and the kernel's BlockSpec
+    reads the v half in place: the kv split never materializes in HBM
+    (the k half feeds the quantize prologue, which XLA fuses with the
+    slice for free)."""
+    b, nq, hd = q.shape
+    assert hd == heads * (hd // heads)
+    d = hd // heads
+    hpg = LANES // d
+    n_g = heads // hpg
+    nkv = k.shape[1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if interpret is None:
+        interpret = _interpret_default()
+    n_null = 0 if null_k is None else null_k.shape[1]
+    assert n_null <= NULL_PAD
+    block_q, block_k, nq_pad, nkv_pad, dp = _block_plan(
+        nq, nkv, d, block_q, block_k)
+    assert nq_pad == nq and nkv_pad == nkv and dp == d, (
+        "flash_attention_serving_hp shape contract violated — "
+        "check hp_supported()"
+    )
+
+    if quantized:
+        # per-head per-row q quantization on free 4D views (ONE fused
+        # elementwise XLA pass — no transposes); one global k scale
+        # (rows are unit-norm × shared per-dim γ after the prologue)
+        q4 = q.reshape(b, nq, heads, d).astype(jnp.float32)
+        amax = jnp.max(jnp.abs(q4), axis=-1, keepdims=True)
+        qs = jnp.maximum(amax, 1e-8) / 127.0
+        qq = jnp.clip(jnp.round(q4 / qs), -127, 127
+                      ).astype(jnp.int8).reshape(b, nq, hd)
+        kamax = jnp.max(jnp.abs(k.astype(jnp.float32)))
+        ks = jnp.maximum(kamax, 1e-8) / 127.0
+        kq = jnp.clip(jnp.round(k.astype(jnp.float32) / ks), -127, 127
+                      ).astype(jnp.int8)
+        qe = (qs[..., 0] * ks * scale).astype(jnp.float32)   # (b, nq, heads)
+        qn = (qs[..., 0] * scale).astype(jnp.float32)
+    else:
+        qq = q
+        kq = k.astype(q.dtype)
+        qe = qn = jnp.full((b, nq, heads), scale, jnp.float32)
+    # lane-group the per-head columns: (b, nq, heads) → (b, n_g, nq, hpg)
+    # so blocks have a FULL hpg-lane minor dim (tiny tensor, cheap copy)
+    qe4 = qe.reshape(b, nq, n_g, hpg).transpose(0, 2, 1, 3)
+    qn4 = qn.reshape(b, nq, n_g, hpg).transpose(0, 2, 1, 3)
+
+    def pack_null(t, dtype):
+        # (heads, n_null, d) → (n_g, NULL_PAD, hpg·d), heads packed in
+        # lanes within their group (tiny tensor, cheap copy)
+        t = _pad_axis(t.astype(dtype), NULL_PAD, axis=1)
+        return (t.reshape(n_g, hpg, NULL_PAD, d)
+                .transpose(0, 2, 1, 3).reshape(n_g, NULL_PAD, LANES))
+
+    if n_null:
+        nk = pack_null(null_k, jnp.float32)
+        nv = pack_null(null_v, v.dtype)
+    else:
+        nk = jnp.zeros((n_g, NULL_PAD, LANES), jnp.float32)
+        nv = jnp.zeros((n_g, NULL_PAD, LANES), v.dtype)
+
+    grid = (b, n_g, nq // block_q, nkv // block_k)
+    out = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_static_hp, kv_len=nkv, block_k=block_k,
+            n_null=n_null, d=d, hpg=hpg,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, LANES), lambda b, g, i, j: (b, i, g)),
+            pl.BlockSpec((1, 1, block_q, hpg),
+                         lambda b, g, i, j: (b, g, i, 0)),
+            pl.BlockSpec((1, 1, block_q, hpg),
+                         lambda b, g, i, j: (b, g, i, 0)),
+            pl.BlockSpec((1, block_k, LANES), lambda b, g, i, j: (b, j, g)),
+            pl.BlockSpec((1, block_k, LANES),
+                         lambda b, g, i, j: (b, j, g + v_group_offset)),
+            pl.BlockSpec((1, NULL_PAD, LANES), lambda b, g, i, j: (g, 0, 0)),
+            pl.BlockSpec((1, NULL_PAD, LANES), lambda b, g, i, j: (g, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, LANES),
+                               lambda b, g, i, j: (b, i, g)),
+        out_shape=jax.ShapeDtypeStruct((b, nq, hd), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, hpg), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qq, qe4, qn4, kq, v.astype(jnp.bfloat16), nk, nv,
+      jnp.reshape(jnp.asarray(logit_bound, jnp.float32), (1,)))
+    return out.astype(q.dtype if q.dtype != jnp.int8 else jnp.bfloat16)
+
+
+# ---------------------------------------------------------------------------
 # backward
 # ---------------------------------------------------------------------------
 

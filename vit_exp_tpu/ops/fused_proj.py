@@ -28,6 +28,8 @@ from jax.experimental.pallas import tpu as pltpu
 from vit_exp_tpu.ops.geglu_ff import (DEFAULT_BLOCK_M, _interpret_default,
                                       _ln_stats, _pad_rows)
 
+LANES = 128
+
 
 def _fwd_kernel(x_ref, mu_ref, inv_ref, w_ref, o_ref):
     xn = (x_ref[...].astype(jnp.float32) - mu_ref[...]) * inv_ref[...]
@@ -253,6 +255,101 @@ def fused_ln_qkv_int8(
       _pad_rows(inv, pad_m, value=1.0), w8, sc[None, :])
     out = out[:M].reshape(orig[:-1] + (F,))
     return out[..., :Fq], out[..., Fq:]
+
+
+def _fwd_int8_kernel_3out(x_ref, mu_ref, inv_ref, w_ref, s_ref,
+                          oq_ref, ok_ref, ov_ref, *, fq, fk):
+    xn = (x_ref[...].astype(jnp.float32) - mu_ref[...]) * inv_ref[...]
+    amax = jnp.max(jnp.abs(xn), axis=-1, keepdims=True)
+    sr = jnp.maximum(amax, 1e-8) / 127.0
+    q8 = jnp.clip(jnp.round(xn / sr), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        q8, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    deq = acc.astype(jnp.float32) * sr * s_ref[...]
+    # lane-ALIGNED splits of the accumulator (fq/fk are 128-multiples —
+    # Mosaic accepts these; the (m,h·d)→(h,m,d) in-kernel head transpose
+    # does NOT lower: "infer-vector-layout: unsupported shape cast")
+    oq_ref[...] = deq[:, :fq].astype(oq_ref.dtype)
+    ok_ref[...] = deq[:, fq:fq + fk].astype(ok_ref.dtype)
+    ov_ref[...] = deq[:, fq + fk:].astype(ov_ref.dtype)
+
+
+def fused_ln_qkv3_int8(
+    x: jnp.ndarray,
+    gamma: jnp.ndarray,
+    wq: jnp.ndarray,
+    wkv: jnp.ndarray,
+    *,
+    eps: float = 1e-5,
+    block_m: int = DEFAULT_BLOCK_M,
+    interpret: bool | None = None,
+):
+    """`fused_ln_qkv_int8` emitting SEPARATE packed q, k, v — (…, Fq),
+    (…, Fk), (…, Fk).
+
+    The two-output variant returns a combined (M, Fq+Fkv) array whose k/v
+    halves the serving attention then splits — XLA materializes the split
+    as a full-tensor HBM copy.  Here the split happens on the kernel's
+    VMEM accumulator at lane-aligned offsets (Fq, Fk must be multiples of
+    128), and the packed tensors flow straight into the heads-packed
+    serving attention (flash_attention.py::flash_attention_serving_hp)
+    with zero XLA-side relayout.  Serving-only (no VJP).
+
+    Identical quantization to fused_ln_qkv_int8 (per-token activations,
+    per-channel folded-γ weights) — outputs are bit-identical to column
+    splits of the 2-output form."""
+    from vit_exp_tpu.ops.geglu_ff import quantize_per_channel
+
+    if interpret is None:
+        interpret = _interpret_default()
+    orig = x.shape
+    D = x.shape[-1]
+    Fq = wq.shape[1]
+    Fkv = wkv.shape[1]
+    assert Fkv % 2 == 0
+    Fk = Fkv // 2
+    assert Fq % LANES == 0 and Fk % LANES == 0, (
+        "3-output splits must be lane-aligned; use fused_ln_qkv_int8"
+    )
+    wf = jnp.concatenate([wq, wkv], axis=1)
+    wf = (wf.astype(jnp.float32) * gamma.astype(jnp.float32)[:, None])
+    w8, sc = quantize_per_channel(wf)
+    x2 = x.reshape(-1, D)
+    M = x2.shape[0]
+    F = wf.shape[1]
+    mu, inv = _ln_stats(x2, eps)
+    pad_m = -(-M // block_m) * block_m
+    q, k, v = pl.pallas_call(
+        functools.partial(_fwd_int8_kernel_3out, fq=Fq, fk=Fk),
+        grid=(pad_m // block_m,),
+        in_specs=[
+            pl.BlockSpec((block_m, D), lambda i: (i, 0)),
+            pl.BlockSpec((block_m, 1), lambda i: (i, 0)),
+            pl.BlockSpec((block_m, 1), lambda i: (i, 0)),
+            pl.BlockSpec((D, F), lambda i: (0, 0)),
+            pl.BlockSpec((1, F), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_m, Fq), lambda i: (i, 0)),
+            pl.BlockSpec((block_m, Fk), lambda i: (i, 0)),
+            pl.BlockSpec((block_m, Fk), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((pad_m, Fq), x.dtype),
+            jax.ShapeDtypeStruct((pad_m, Fk), x.dtype),
+            jax.ShapeDtypeStruct((pad_m, Fk), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(_pad_rows(x2, pad_m), _pad_rows(mu, pad_m),
+      _pad_rows(inv, pad_m, value=1.0), w8, sc[None, :])
+    return (q[:M].reshape(orig[:-1] + (Fq,)),
+            k[:M].reshape(orig[:-1] + (Fk,)),
+            v[:M].reshape(orig[:-1] + (Fk,)))
 
 
 def _proj_int8_kernel(x_ref, w_ref, s_ref, o_ref):
