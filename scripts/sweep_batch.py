@@ -5,6 +5,7 @@ loop-differencing protocol.  Usage:
   PYTHONPATH=/root/.axon_site:/root/repo python scripts/sweep_batch.py
 """
 
+import os
 import time
 
 import numpy as np
@@ -30,7 +31,11 @@ def main():
     text_len = 512
     config = ExperimentConfig.from_dict({"arch": arch})
     model = build_ctclip(config, bert_config=bert_cfg,
-                         attn_impl="pallas_static", ff_impl="pallas")
+                         attn_impl=os.environ.get(
+                             "BENCH_ATTN_IMPL", "pallas_static_int8"),
+                         ff_impl=os.environ.get(
+                             "BENCH_FF_IMPL", "pallas_int8"),
+                         fuse_qkv=True)
     a = config.arch
     rng = np.random.default_rng(0)
 

@@ -183,6 +183,49 @@ def test_packed_report_dataset_matches_npz_dataset(tmp_path):
         np.testing.assert_array_equal(a["input_ids"], b["input_ids"])
 
 
+def test_packed_inference_dataset_matches_npz_dataset(tmp_path):
+    """CTReportPackedInferenceDataset items == CTReportInferenceDataset
+    items (image, text, onehot, accession) after packing the npz tree."""
+    from vit_exp_tpu.data.datasets import CTReportInferenceDataset
+    from vit_exp_tpu.data.packed import (
+        CTReportPackedInferenceDataset, PackedShardWriter,
+    )
+
+    rng = np.random.default_rng(3)
+    root = tmp_path / "npz"
+    root.mkdir()
+    reports, labels = [], []
+    for i in range(2):
+        vol = rng.standard_normal((24, 48, 48)).astype(np.float32)
+        np.savez_compressed(root / f"case{i}.npz", arr_0=vol)
+        reports.append({"VolumeName": f"case{i}.nii.gz",
+                        "Findings_EN": f"finding {i}",
+                        "Impressions_EN": f"impression {i}"})
+        labels.append({"VolumeName": f"case{i}.nii.gz",
+                       "Cardiomegaly": i % 2, "Emphysema": (i + 1) % 2})
+    pd.DataFrame(reports).to_csv(tmp_path / "reports.csv", index=False)
+    pd.DataFrame(labels).to_csv(tmp_path / "labels.csv", index=False)
+
+    ds = CTReportInferenceDataset(str(root), str(tmp_path / "reports.csv"),
+                                  str(tmp_path / "labels.csv"))
+    with PackedShardWriter(str(tmp_path / "packed")) as w:
+        for i in range(len(ds)):
+            item = ds[i]
+            w.append(item["accession"],
+                     item["image"].astype(np.float16),
+                     meta={"text": item["text"]})
+    pds = CTReportPackedInferenceDataset(
+        str(tmp_path / "packed"), str(tmp_path / "labels.csv"))
+    assert len(pds) == len(ds)
+    assert pds.label_columns == ds.label_columns
+    for i in range(len(ds)):
+        a, b = ds[i], pds[i]
+        assert a["accession"] == b["accession"]
+        assert a["text"] == b["text"]
+        np.testing.assert_array_equal(a["onehot"], b["onehot"])
+        np.testing.assert_allclose(a["image"], b["image"], atol=2e-3)
+
+
 def test_packed_dataset_through_loader_and_cli_spec(tmp_path):
     """packed spec in train_data_list builds CTReportPackedDataset, and the
     threaded Loader batches it like the npz dataset."""

@@ -63,6 +63,9 @@ def main(argv=None):
     parser.add_argument("--results_folder", required=True)
     parser.add_argument("--vocab", default=None)
     parser.add_argument("--data_folder", default=None)
+    parser.add_argument("--packed_root", default=None,
+                        help="packed-shard store (cli/pack_dataset.py) "
+                             "instead of an npz tree — memmap ingest")
     parser.add_argument("--reports_csv", default=None)
     parser.add_argument("--labels_csv", default=None)
     parser.add_argument("--synthetic", type=int, default=0)
@@ -98,6 +101,12 @@ def main(argv=None):
         from vit_exp_tpu.data.synthetic import SyntheticInferenceDataset
 
         dataset = SyntheticInferenceDataset(args.synthetic, arch=config.arch)
+    elif args.packed_root:
+        from vit_exp_tpu.data.packed import CTReportPackedInferenceDataset
+
+        dataset = CTReportPackedInferenceDataset(
+            args.packed_root, args.labels_csv, args.reports_csv,
+        )
     else:
         from vit_exp_tpu.data.datasets import CTReportInferenceDataset
 

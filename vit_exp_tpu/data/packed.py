@@ -234,3 +234,67 @@ class CTReportPackedDataset:
             item["input_ids"] = toks["input_ids"][0]
             item["attention_mask"] = toks["attention_mask"][0]
         return item
+
+
+class CTReportPackedInferenceDataset:
+    """CTReportInferenceDataset twin over packed shards (datasets.py:199 /
+    reference data_inference.py:19-227): same item dict (image, text,
+    onehot, accession), but the volume read is one memmap slice via the
+    native reader instead of an npz inflate — the production serving
+    ingest for the batched eval engines.  Pack keys are the `.nii.gz`
+    accession names (cli/pack_dataset.py), matching the one-hot CSV's
+    VolumeName column."""
+
+    def __init__(
+        self,
+        root: str,
+        labels_file: str,
+        csv_file: Optional[str] = None,
+        *,
+        limit: Optional[int] = None,
+    ):
+        import pandas as pd
+
+        from vit_exp_tpu.data.datasets import CTReportDataset
+
+        self.store = PackedVolumeStore(root)
+        labels_df = pd.read_csv(labels_file)
+        self.label_columns = [
+            c for c in labels_df.columns if c != "VolumeName"
+        ]
+        acc_to_onehot = {
+            str(row["VolumeName"]).split("/")[-1]: np.asarray(
+                [row[c] for c in self.label_columns], dtype=np.float32
+            )
+            for _, row in labels_df.iterrows()
+        }
+        acc_to_text = (
+            CTReportDataset._load_reports(csv_file) if csv_file else {}
+        )
+        self.samples: List[Tuple[str, str, np.ndarray]] = []
+        for r in self.store.records:
+            key = r["key"]
+            onehot = acc_to_onehot.get(key)
+            if onehot is None:
+                continue
+            text = r["meta"].get("text")
+            if text is None:
+                text = acc_to_text.get(key, "")
+            self.samples.append((key, text, onehot))
+        if limit:
+            self.samples = self.samples[:limit]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, index: int) -> Dict:
+        key, text, onehot = self.samples[index]
+        volume = self.store.get_f32(key)
+        if volume.ndim == 3:
+            volume = volume[None]
+        return {
+            "image": volume,
+            "text": text,
+            "onehot": onehot,
+            "accession": key,
+        }

@@ -17,40 +17,75 @@ from typing import Dict, Optional
 import numpy as np
 
 
+def _jit_image_latents(engine):
+    """ONE jitted batched program for image latents (the reference runs
+    encode per volume un-batched, zero_shot_latents.py:245-333)."""
+    import jax
+
+    from vit_exp_tpu.models.ctclip import CTCLIP
+
+    model = engine.model
+
+    @jax.jit
+    def fn(params, video):
+        tokens = model.apply({"params": params}, video,
+                             method=CTCLIP.encode_image_tokens)
+        return model.apply({"params": params}, tokens,
+                           method=CTCLIP.image_latents_from_tokens)
+
+    return fn
+
+
 def dump_latents(
     engine,  # eval.zero_shot.ZeroShotClassifier (reuses its jitted encoders)
     dataset,
     out_folder: str,
     *,
     limit: Optional[int] = None,
+    num_workers: int = 4,
 ) -> Dict[str, np.ndarray]:
-    """Encode every sample once; save latents + accessions npz."""
+    """Encode every sample once; save latents + accessions npz.  Batched
+    into jitted programs of engine.batch_size with the eval engines'
+    load/compute/read pipelining."""
     import jax.numpy as jnp
+
+    from vit_exp_tpu.eval.zero_shot import _pad_tail, _pipelined_batches
 
     os.makedirs(out_folder, exist_ok=True)
     n = min(len(dataset), limit) if limit else len(dataset)
+    bs = engine.batch_size
+    img_fn = _jit_image_latents(engine)
     image_latents, text_latents, accessions = [], [], []
-    for i in range(n):
-        item = dataset[i]
-        toks = engine.tokenizer([item["text"]],
-                                max_length=engine.max_text_len)
+    pending = None  # (device img latents, device txt latents, len, accs)
+
+    def drain():
+        nonlocal pending
+        if pending is None:
+            return
+        img, txt, k, accs = pending
+        image_latents.extend(np.asarray(img)[:k])
+        text_latents.extend(np.asarray(txt)[:k])
+        accessions.extend(accs[:k])
+        pending = None
+
+    seen = 0
+    for batch in _pipelined_batches(dataset, n, bs,
+                                    num_workers=num_workers):
+        padded, k = _pad_tail(batch, bs, "image")
+        texts = list(batch["text"])
+        texts += [texts[-1]] * (bs - k)
+        toks = engine.tokenizer(texts, max_length=engine.max_text_len)
         txt = engine._text_latents_fn(
             engine.params, jnp.asarray(toks["input_ids"]),
             jnp.asarray(toks["attention_mask"]),
         )
-        from vit_exp_tpu.models.ctclip import CTCLIP
-
-        tokens = engine.model.apply(
-            {"params": engine.params}, jnp.asarray(item["image"][None]),
-            method=CTCLIP.encode_image_tokens,
-        )
-        lat = engine.model.apply(
-            {"params": engine.params}, tokens,
-            method=CTCLIP.image_latents_from_tokens,
-        )
-        image_latents.append(np.asarray(lat[0]))
-        text_latents.append(np.asarray(txt[0]))
-        accessions.append(item.get("accession", f"sample_{i}"))
+        img = img_fn(engine.params, jnp.asarray(padded["image"]))
+        accs = list(batch.get(
+            "accession", [f"sample_{seen + j}" for j in range(k)]))
+        seen += k
+        drain()
+        pending = (img, txt, k, accs)
+    drain()
     out = {
         "image_latents": np.stack(image_latents),
         "text_latents": np.stack(text_latents),
@@ -103,26 +138,54 @@ def volume_to_report(image_latents: np.ndarray, text_latents: np.ndarray,
     return report_to_volume(image_latents, text_latents, k)
 
 
-def dump_encodings(engine, dataset, out_folder: str, *, limit=None):
+def dump_encodings(engine, dataset, out_folder: str, *, limit=None,
+                   num_workers: int = 4):
     """Raw encoded image tokens per accession (forward_data.py:253-283
-    `return_encodings` capability) — one npz per sample."""
+    `return_encodings` capability) — one npz per sample, encoded in
+    jitted batches with the eval engines' pipelining."""
+    import jax
     import jax.numpy as jnp
 
+    from vit_exp_tpu.eval.zero_shot import _pad_tail, _pipelined_batches
     from vit_exp_tpu.models.ctclip import CTCLIP
+
+    model = engine.model
+
+    @jax.jit
+    def encode(params, video):
+        return model.apply({"params": params}, video,
+                           method=CTCLIP.encode_image_tokens)
 
     os.makedirs(out_folder, exist_ok=True)
     n = min(len(dataset), limit) if limit else len(dataset)
+    bs = engine.batch_size
     paths = []
-    for i in range(n):
-        item = dataset[i]
-        tokens = engine.model.apply(
-            {"params": engine.params}, jnp.asarray(item["image"][None]),
-            method=CTCLIP.encode_image_tokens,
-        )
-        acc = item.get("accession", f"sample_{i}").replace("/", "_")
-        path = os.path.join(out_folder, f"{acc}.encodings.npz")
-        np.savez(path, np.asarray(tokens[0], np.float32))
-        paths.append(path)
+    pending = None  # (device tokens, true len, accession list)
+
+    def drain():
+        nonlocal pending
+        if pending is None:
+            return
+        tokens, k, accs = pending
+        host = np.asarray(tokens[:k], np.float32)
+        for row, acc in zip(host, accs):
+            path = os.path.join(out_folder,
+                                f"{acc.replace('/', '_')}.encodings.npz")
+            np.savez(path, row)
+            paths.append(path)
+        pending = None
+
+    seen = 0
+    for batch in _pipelined_batches(dataset, n, bs,
+                                    num_workers=num_workers):
+        padded, k = _pad_tail(batch, bs, "image")
+        tokens = encode(engine.params, jnp.asarray(padded["image"]))
+        accs = list(batch.get(
+            "accession", [f"sample_{seen + j}" for j in range(k)]))[:k]
+        seen += k
+        drain()
+        pending = (tokens, k, accs)
+    drain()
     return paths
 
 

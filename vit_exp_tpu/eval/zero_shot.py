@@ -54,6 +54,48 @@ def build_pathology_prompts(
     return prompts
 
 
+class _Subset:
+    """First-n view of a dataset (limit support for the batched loaders)."""
+
+    def __init__(self, dataset, n: int):
+        self._dataset = dataset
+        self._n = n
+
+    def __len__(self):
+        return self._n
+
+    def __getitem__(self, i):
+        return self._dataset[i]
+
+
+def _pipelined_batches(dataset, n: int, batch_size: int, *,
+                       num_workers: int = 4):
+    """Yield collated numpy batches (tail batch may be short), loading
+    dataset items on background threads so host npz decode overlaps device
+    compute — the reference serializes load and forward per volume
+    (zero_shot.py:528-611)."""
+    from vit_exp_tpu.data.loader import Loader
+
+    yield from Loader(_Subset(dataset, n), batch_size, shuffle=False,
+                      num_workers=num_workers, prefetch=2)
+
+
+def _pad_tail(batch: Dict, batch_size: int, key: str):
+    """Pad every leading-batch-dim array field to batch_size by repeating
+    the last item; returns (padded_batch, true_length)."""
+    k = len(batch[key])
+    if k == batch_size:
+        return batch, k
+    out = {}
+    for name, v in batch.items():
+        if isinstance(v, np.ndarray) and v.ndim >= 1 and len(v) == k:
+            out[name] = np.concatenate(
+                [v, np.repeat(v[-1:], batch_size - k, axis=0)])
+        else:
+            out[name] = v
+    return out, k
+
+
 class ZeroShotClassifier:
     """Batched FAST zero-shot engine."""
 
@@ -116,8 +158,10 @@ class ZeroShotClassifier:
         )
         return self._cached_text
 
-    def predict_batch(self, volumes: np.ndarray) -> np.ndarray:
-        """(B, 1, D, H, W) → (B, n_pathologies) P(present)."""
+    def dispatch_batch(self, volumes: np.ndarray) -> jnp.ndarray:
+        """Non-blocking predict: dispatches the jitted program and returns
+        the device array (read it with np.asarray once the NEXT batch is in
+        flight — the one-deep pipeline in infer())."""
         if self._cached_text is None:
             self.prepare()
         v = jnp.asarray(volumes)
@@ -129,7 +173,11 @@ class ZeroShotClassifier:
                 NamedSharding(self.mesh,
                               P(("data", "fsdp"), *([None] * (v.ndim - 1)))),
             )
-        return np.asarray(self._probs_fn(self.params, v, self._cached_text))
+        return self._probs_fn(self.params, v, self._cached_text)
+
+    def predict_batch(self, volumes: np.ndarray) -> np.ndarray:
+        """(B, 1, D, H, W) → (B, n_pathologies) P(present)."""
+        return np.asarray(self.dispatch_batch(volumes))
 
     def infer(
         self,
@@ -137,41 +185,40 @@ class ZeroShotClassifier:
         *,
         results_folder: Optional[str] = None,
         limit: Optional[int] = None,
+        num_workers: int = 4,
     ) -> Dict[str, float]:
         """Iterate an inference dataset, return per-label AUROC dict
-        (infer_return_res_dict semantics, zero_shot.py:604-611)."""
+        (infer_return_res_dict semantics, zero_shot.py:604-611).
+
+        The loop is software-pipelined: batch i's host read happens while
+        batch i+1 computes on device, and dataset items load on background
+        threads (the reference runs load → forward → read strictly
+        serially per volume)."""
         if limit is None and os.environ.get("CTCLIP_DEBUG"):
             limit = 10  # reference debug truncation (zero_shot.py:625-626)
         n = min(len(dataset), limit) if limit else len(dataset)
 
         preds, labels, accessions = [], [], []
         t0 = time.perf_counter()
-        batch_imgs, batch_meta = [], []
+        pending = None  # (device probs, true len, onehots, accession list)
 
-        def flush():
-            if not batch_imgs:
+        def drain():
+            nonlocal pending
+            if pending is None:
                 return
-            stack = np.stack(batch_imgs)
-            pad = self.batch_size - len(batch_imgs)
-            if pad:
-                stack = np.concatenate(
-                    [stack, np.repeat(stack[-1:], pad, axis=0)]
-                )
-            p = self.predict_batch(stack)[: len(batch_imgs)]
-            preds.extend(p)
-            for onehot, acc in batch_meta:
-                labels.append(onehot)
-                accessions.append(acc)
-            batch_imgs.clear()
-            batch_meta.clear()
+            dev, k, onehots, accs = pending
+            preds.extend(np.asarray(dev)[:k])
+            labels.extend(onehots[:k])
+            accessions.extend(accs[:k])
+            pending = None
 
-        for i in range(n):
-            item = dataset[i]
-            batch_imgs.append(item["image"])
-            batch_meta.append((item["onehot"], item["accession"]))
-            if len(batch_imgs) == self.batch_size:
-                flush()
-        flush()
+        for batch in _pipelined_batches(dataset, n, self.batch_size,
+                                        num_workers=num_workers):
+            padded, k = _pad_tail(batch, self.batch_size, "image")
+            dev = self.dispatch_batch(padded["image"])
+            drain()  # previous batch's host read overlaps this dispatch
+            pending = (dev, k, batch["onehot"], batch["accession"])
+        drain()
 
         y_pred = np.asarray(preds)
         y_true = np.asarray(labels)
@@ -214,36 +261,34 @@ class ZeroShotSegmenter:
 
     def infer(
         self, dataset, *, results_folder: Optional[str] = None,
-        limit: Optional[int] = None,
+        limit: Optional[int] = None, num_workers: int = 4,
     ) -> Dict[str, float]:
         """Batched dice over the dataset: volumes are stacked to
         `batch_size` and scored in ONE jitted program per batch, with the
         classifier engine's pad-tail pattern (repeat last item, slice off)
         instead of the reference's per-volume dispatch loop
-        (zero_shot.py:908-1101)."""
+        (zero_shot.py:908-1101).  Same load/compute/read pipelining as the
+        classifier engine."""
         n = min(len(dataset), limit) if limit else len(dataset)
         all_dice: list = []
-        batch_v, batch_m = [], []
+        pending = None  # (device dice, true len)
 
-        def flush():
-            if not batch_v:
+        def drain():
+            nonlocal pending
+            if pending is None:
                 return
-            vs, ms = np.stack(batch_v), np.stack(batch_m)
-            pad = self.batch_size - len(batch_v)
-            if pad:
-                vs = np.concatenate([vs, np.repeat(vs[-1:], pad, axis=0)])
-                ms = np.concatenate([ms, np.repeat(ms[-1:], pad, axis=0)])
-            all_dice.extend(self.dice_batch(vs, ms)[: len(batch_v)])
-            batch_v.clear()
-            batch_m.clear()
+            dev, k = pending
+            all_dice.extend(np.asarray(dev)[:k])
+            pending = None
 
-        for i in range(n):
-            item = dataset[i]
-            batch_v.append(item["image"])
-            batch_m.append(item["seg_mask"])
-            if len(batch_v) == self.batch_size:
-                flush()
-        flush()
+        for batch in _pipelined_batches(dataset, n, self.batch_size,
+                                        num_workers=num_workers):
+            padded, k = _pad_tail(batch, self.batch_size, "image")
+            dev = self._dice_fn(self.params, jnp.asarray(padded["image"]),
+                                jnp.asarray(padded["seg_mask"]))
+            drain()
+            pending = (dev, k)
+        drain()
         dice = np.nanmean(np.stack(all_dice), axis=0)
         res = {f"dice_class_{i}": float(v) for i, v in enumerate(dice)}
         res["mean_dice"] = float(np.nanmean(dice))
