@@ -163,11 +163,15 @@ class CTClipTrainer:
 
     # -- the loop ------------------------------------------------------------
 
-    def train_step(self) -> Dict[str, float]:
+    def train_step(self) -> Dict:
         """One optimizer step = sampler-scheduled micro-steps over datasets
-        (train_step_single, CTCLIPTrainer.py:622-652)."""
+        (train_step_single, CTCLIPTrainer.py:622-652).  Returns the step's
+        metrics as DEVICE arrays — the train loop materializes them one
+        step late so the host never blocks on the in-flight step and the
+        device queue stays fed (dispatch is async; the donated state future
+        chains the next step)."""
         acc_steps = self.sampler.sample(self.step)
-        logs: Dict[str, float] = {}
+        logs: Dict = {}
         for ds_idx, n_micro in enumerate(acc_steps):
             step_fn = self.steps_by_type[self.data_types[ds_idx]]
             weight = float(self.balance[ds_idx])
@@ -175,7 +179,7 @@ class CTClipTrainer:
                 batch = self._device_batch(next(self.loaders[ds_idx]))
                 self.state, metrics = step_fn(self.state, batch, weight)
                 for k, v in metrics.items():
-                    logs[f"ds{ds_idx}_{k}"] = float(v)
+                    logs[f"ds{ds_idx}_{k}"] = v
         self.step += 1
         return logs
 
@@ -197,21 +201,40 @@ class CTClipTrainer:
         tcfg = self.trainer_cfg
         total = num_steps or tcfg.num_train_steps
         timer = StepTimer()
+        pending = None  # (step idx, logs w/ device arrays): read 1 step late
+
+        def flush_pending():
+            nonlocal pending
+            if pending is None:
+                return
+            pstep, plogs = pending
+            self.logger.log(
+                {k: (float(v) if hasattr(v, "dtype") else v)
+                 for k, v in plogs.items()},
+                step=pstep,
+            )
+            pending = None
+
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
         while self.step < total:
             if getattr(self, "_preempted", False):
                 if profile_dir:
                     jax.profiler.stop_trace()
+                flush_pending()
                 if is_main_process():
                     self.ckpt.save(self.step, self.state)
                 print(f"preempted at step {self.step}: state saved, exiting",
                       flush=True)
                 return
             with timer:
+                # dispatch step i, then materialize step i-1's metrics while
+                # i computes — in steady state the timer still spans one full
+                # step (dispatch latency + the wait for the previous step)
                 logs = self.train_step()
+                flush_pending()
             logs.update(timer.metrics())
-            self.logger.log(logs, step=self.step)
+            pending = (self.step, logs)
 
             if (
                 tcfg.save_model_every
@@ -240,6 +263,7 @@ class CTClipTrainer:
                          for k, v in paths.items()},
                         step=self.step,
                     )
+        flush_pending()
         if profile_dir:
             jax.profiler.stop_trace()
         if is_main_process():
