@@ -236,3 +236,47 @@ def test_preemption_checkpoint(tmp_path):
         resume_step=trainer.step,
     )
     assert trainer2.step == trainer.step
+
+
+def test_run_train_cli_mesh(tmp_path):
+    """run_train --mesh wires a (data,fsdp,model) MeshConfig through the
+    CLI: yaml `mesh:` section applies, the flag overrides it, and a tiny
+    synthetic train actually steps on the 2x2x2 mesh."""
+    import yaml
+
+    from vit_exp_tpu.cli.run_train import main, mesh_config_from
+    from vit_exp_tpu.core.config import load_config
+
+    cfg = {
+        "random_seed": 3,
+        "results_folder": str(tmp_path / "run"),
+        "trainer": {"lr": 1e-3, "num_train_steps": 2,
+                    "save_model_every": 0, "eval_model_every": 0},
+        "arch": {"dim": 24, "image_size": 8, "patch_size": 4,
+                 "temporal_size": 8, "temporal_patch_size": 4,
+                 "transformer_blocks": 1, "dim_head": 4, "heads": 2},
+        "train_data_list": [
+            {"name": "reports", "type": "imagereport", "batch_size": 1},
+        ],
+        "mesh": {"data": 4, "fsdp": 2, "model": 1},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    config = load_config(str(cfg_path))
+    # yaml section honored
+    mc = mesh_config_from(config)
+    assert (mc.data, mc.fsdp, mc.model) == (4, 2, 1)
+    # CLI flag overrides
+    mc = mesh_config_from(config, "2,2,2")
+    assert (mc.data, mc.fsdp, mc.model) == (2, 2, 2)
+    # no section, no flag -> trainer default
+    config_plain = load_config(str(cfg_path))
+    config_plain.extra.pop("mesh")
+    assert mesh_config_from(config_plain) is None
+
+    main(["--config", str(cfg_path), "--mesh", "2,2,2",
+          "--synthetic", "8", "--steps", "2"])
+    lines = [json.loads(l) for l in
+             open(os.path.join(str(tmp_path / "run"), "metrics.jsonl"))]
+    assert len(lines) >= 2 and np.isfinite(lines[-1]["ds0_cl_loss"])

@@ -95,6 +95,28 @@ def build_datasets(config, tokenizer, synthetic: int = 0):
     return datasets
 
 
+def mesh_config_from(config, mesh_arg=None):
+    """MeshConfig from the yaml `mesh:` section and/or --mesh DATA,FSDP,MODEL.
+
+    The yaml section (ours — the reference topology lives in `accelerate
+    launch` flags instead) accepts `{data, fsdp, model, seq_axis}`; the CLI
+    flag overrides the axis sizes.  Returns None (trainer default: pure DP
+    over all devices) when neither is given.
+    """
+    from vit_exp_tpu.core.mesh import MeshConfig
+
+    spec = dict(config.extra.get("mesh") or {})
+    if mesh_arg:
+        d, f, m = (int(x) for x in mesh_arg.split(","))
+        spec.update(data=d, fsdp=f, model=m)
+    if not spec:
+        return None
+    return MeshConfig(
+        data=spec.get("data", -1), fsdp=spec.get("fsdp", 1),
+        model=spec.get("model", 1), seq_axis=spec.get("seq_axis"),
+    )
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
@@ -113,6 +135,12 @@ def main(argv=None):
                         help="rematerialize transformer blocks (memory "
                         "headroom for larger batches; ~2%% slower at bs4 "
                         "since the fused backwards)")
+    parser.add_argument("--mesh", default=None, metavar="DATA,FSDP,MODEL",
+                        help="device-mesh axis sizes, e.g. 4,2,1 (use -1 "
+                        "for 'all remaining devices' on the data axis); "
+                        "overrides the yaml `mesh:` section.  Replaces the "
+                        "reference's `accelerate launch` process topology — "
+                        "one process drives the whole mesh")
     args = parser.parse_args(argv)
 
     import jax
@@ -201,6 +229,7 @@ def main(argv=None):
 
     resume = -1 if args.auto_resume else args.resume
     trainer = CTClipTrainer(model, config, datasets=datasets,
+                            mesh_config=mesh_config_from(config, args.mesh),
                             resume_step=resume,
                             eval_hooks=hooks["eval_hooks"],
                             sample_hooks=hooks["sample_hooks"])
