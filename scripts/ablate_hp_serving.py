@@ -15,7 +15,7 @@ classify dispatch (~11 ms) to the XLA relayouts the hp path eliminates.
 Relay-robust protocol: loop differencing with a traced perturbation and
 a host read (see .claude/skills/verify/SKILL.md).
 
-Usage: PYTHONPATH=/root/repo python scripts/ablate_hm_serving.py [filter...]
+Usage: PYTHONPATH=/root/repo python scripts/ablate_hp_serving.py [filter...]
 """
 
 import sys

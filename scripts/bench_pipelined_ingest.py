@@ -64,17 +64,21 @@ def main():
                          attn_impl="pallas_static_int8",
                          ff_impl="pallas_int8", fuse_qkv=True)
 
-    # stored-shape volumes (pre-runtime-crop), realistic npz inflate cost
-    tmp = tempfile.mkdtemp(prefix="ingest_bench_")
+    # stored-shape volumes (pre-runtime-crop), realistic npz inflate cost;
+    # INGEST_DIR reuses a previous run's files (writing them takes ~10 min)
+    tmp = os.environ.get("INGEST_DIR") or tempfile.mkdtemp(
+        prefix="ingest_bench_")
+    os.makedirs(tmp, exist_ok=True)
     rng = np.random.default_rng(0)
     paths = []
     t0 = time.perf_counter()
     for i in range(n):
-        vol = rng.standard_normal((220, 420, 420)).astype(np.float32)
         p = os.path.join(tmp, f"vol{i}.npz")
-        np.savez_compressed(p, arr_0=vol)
+        if not os.path.exists(p):
+            vol = rng.standard_normal((220, 420, 420)).astype(np.float32)
+            np.savez_compressed(p, arr_0=vol)
         paths.append(p)
-    print(f"wrote {n} npz volumes in {time.perf_counter() - t0:.0f}s "
+    print(f"{n} npz volumes ready in {time.perf_counter() - t0:.0f}s "
           f"({os.path.getsize(paths[0]) / 1e6:.0f} MB each)", flush=True)
     ds = NpzInferenceDataset(paths)
 
@@ -115,8 +119,9 @@ def main():
     print(f"serial   : {serial:6.1f}s  ({n / serial:5.2f} vol/s)")
     print(f"pipelined: {piped:6.1f}s  ({n / piped:5.2f} vol/s)  "
           f"[{workers} workers, {serial / piped:.2f}x]")
-    for p in paths:
-        os.unlink(p)
+    if not os.environ.get("INGEST_DIR"):
+        for p in paths:
+            os.unlink(p)
 
 
 if __name__ == "__main__":

@@ -289,3 +289,39 @@ def test_loader_host_sharding():
             return 2
     tiny = Loader(Two(), batch_size=1, shard_id=4, num_shards=5)
     assert sum(1 for _ in tiny) == 1
+
+
+def test_loader_prefetch_is_bounded():
+    """The producer must never materialize more than workers+prefetch
+    batches ahead of the consumer (host-OOM guard: production batches are
+    ~0.9 GB; an epoch-wide submit would pile them all in finished
+    futures while the device is the bottleneck)."""
+    import threading
+    import time
+
+    from vit_exp_tpu.data.loader import Loader
+
+    lock = threading.Lock()
+    state = {"loaded": 0, "consumed": 0, "max_ahead": 0}
+
+    class Counting:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            with lock:
+                state["loaded"] += 1
+                ahead = state["loaded"] - state["consumed"]
+                state["max_ahead"] = max(state["max_ahead"], ahead)
+            return {"x": np.float32(i)}
+
+    workers, prefetch = 3, 2
+    loader = Loader(Counting(), batch_size=1, num_workers=workers,
+                    prefetch=prefetch)
+    for _ in loader:
+        time.sleep(0.005)  # slow consumer: loading outpaces compute
+        with lock:
+            state["consumed"] += 1
+    assert state["loaded"] == 64
+    # window (workers+prefetch submitted) + queue (prefetch) + 1 in hand-off
+    assert state["max_ahead"] <= 2 * prefetch + workers + 1, state

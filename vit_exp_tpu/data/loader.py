@@ -136,13 +136,22 @@ class Loader:
             return False
 
         def producer():
+            # Sliding submission window: at most workers+prefetch batches are
+            # ever submitted-but-unconsumed.  Submitting the whole epoch up
+            # front would let the pool race ahead of the consumer and pile
+            # finished batches (~0.9 GB each at production volume shapes) in
+            # completed futures — the q.put bound only throttles hand-off,
+            # not execution.
             pool = ThreadPoolExecutor(self.num_workers)
             try:
-                futures = [pool.submit(load_batch, b) for b in batches]
-                for fut in futures:
-                    if stop.is_set():
-                        fut.cancel()
-                        continue
+                it = iter(batches)
+                pending: List = []
+                for b in it:
+                    pending.append(pool.submit(load_batch, b))
+                    if len(pending) >= self.num_workers + self.prefetch:
+                        break
+                while pending:
+                    fut = pending.pop(0)
                     try:
                         result = fut.result()
                     except Exception as e:  # surface loader errors downstream
@@ -150,6 +159,9 @@ class Loader:
                         return
                     if not put_or_stop(("ok", result)):
                         return
+                    nxt = next(it, None)
+                    if nxt is not None:
+                        pending.append(pool.submit(load_batch, nxt))
                 put_or_stop(("done", None))
             finally:
                 pool.shutdown(wait=False, cancel_futures=True)

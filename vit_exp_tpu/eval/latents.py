@@ -49,29 +49,16 @@ def dump_latents(
     load/compute/read pipelining."""
     import jax.numpy as jnp
 
-    from vit_exp_tpu.eval.zero_shot import _pad_tail, _pipelined_batches
+    from vit_exp_tpu.eval.zero_shot import _one_deep_map
 
     os.makedirs(out_folder, exist_ok=True)
     n = min(len(dataset), limit) if limit else len(dataset)
     bs = engine.batch_size
     img_fn = _jit_image_latents(engine)
     image_latents, text_latents, accessions = [], [], []
-    pending = None  # (device img latents, device txt latents, len, accs)
+    seen = [0]
 
-    def drain():
-        nonlocal pending
-        if pending is None:
-            return
-        img, txt, k, accs = pending
-        image_latents.extend(np.asarray(img)[:k])
-        text_latents.extend(np.asarray(txt)[:k])
-        accessions.extend(accs[:k])
-        pending = None
-
-    seen = 0
-    for batch in _pipelined_batches(dataset, n, bs,
-                                    num_workers=num_workers):
-        padded, k = _pad_tail(batch, bs, "image")
+    def dispatch(padded, k, batch):
         texts = list(batch["text"])
         texts += [texts[-1]] * (bs - k)
         toks = engine.tokenizer(texts, max_length=engine.max_text_len)
@@ -81,11 +68,15 @@ def dump_latents(
         )
         img = img_fn(engine.params, jnp.asarray(padded["image"]))
         accs = list(batch.get(
-            "accession", [f"sample_{seen + j}" for j in range(k)]))
-        seen += k
-        drain()
-        pending = (img, txt, k, accs)
-    drain()
+            "accession", [f"sample_{seen[0] + j}" for j in range(k)]))
+        seen[0] += k
+        return img, txt, k, accs
+
+    for img, txt, k, accs in _one_deep_map(dataset, n, bs, dispatch,
+                                           num_workers=num_workers):
+        image_latents.extend(np.asarray(img)[:k])
+        text_latents.extend(np.asarray(txt)[:k])
+        accessions.extend(accs[:k])
     out = {
         "image_latents": np.stack(image_latents),
         "text_latents": np.stack(text_latents),
@@ -146,7 +137,7 @@ def dump_encodings(engine, dataset, out_folder: str, *, limit=None,
     import jax
     import jax.numpy as jnp
 
-    from vit_exp_tpu.eval.zero_shot import _pad_tail, _pipelined_batches
+    from vit_exp_tpu.eval.zero_shot import _one_deep_map
     from vit_exp_tpu.models.ctclip import CTCLIP
 
     model = engine.model
@@ -160,32 +151,23 @@ def dump_encodings(engine, dataset, out_folder: str, *, limit=None,
     n = min(len(dataset), limit) if limit else len(dataset)
     bs = engine.batch_size
     paths = []
-    pending = None  # (device tokens, true len, accession list)
+    seen = [0]
 
-    def drain():
-        nonlocal pending
-        if pending is None:
-            return
-        tokens, k, accs = pending
+    def dispatch(padded, k, batch):
+        tokens = encode(engine.params, jnp.asarray(padded["image"]))
+        accs = list(batch.get(
+            "accession", [f"sample_{seen[0] + j}" for j in range(k)]))[:k]
+        seen[0] += k
+        return tokens, k, accs
+
+    for tokens, k, accs in _one_deep_map(dataset, n, bs, dispatch,
+                                         num_workers=num_workers):
         host = np.asarray(tokens[:k], np.float32)
         for row, acc in zip(host, accs):
             path = os.path.join(out_folder,
                                 f"{acc.replace('/', '_')}.encodings.npz")
             np.savez(path, row)
             paths.append(path)
-        pending = None
-
-    seen = 0
-    for batch in _pipelined_batches(dataset, n, bs,
-                                    num_workers=num_workers):
-        padded, k = _pad_tail(batch, bs, "image")
-        tokens = encode(engine.params, jnp.asarray(padded["image"]))
-        accs = list(batch.get(
-            "accession", [f"sample_{seen + j}" for j in range(k)]))[:k]
-        seen += k
-        drain()
-        pending = (tokens, k, accs)
-    drain()
     return paths
 
 

@@ -80,6 +80,29 @@ def _pipelined_batches(dataset, n: int, batch_size: int, *,
                       num_workers=num_workers, prefetch=2)
 
 
+def _one_deep_map(dataset, n: int, batch_size: int, dispatch, *,
+                  num_workers: int = 4):
+    """One-deep device pipeline over `_pipelined_batches`.
+
+    `dispatch(padded_batch, true_len, batch)` returns a payload (device
+    arrays plus any host extras).  Each payload is yielded one batch LATE
+    — after the next batch's dispatch — so the consumer's host reads
+    overlap device compute; the final payload is flushed at the end.
+    This is the single audited copy of the drain-before-reassign ordering
+    all four eval engines share (classifier/segmenter infer, latents and
+    encodings dumps)."""
+    pending = None
+    for batch in _pipelined_batches(dataset, n, batch_size,
+                                    num_workers=num_workers):
+        padded, k = _pad_tail(batch, batch_size, "image")
+        payload = dispatch(padded, k, batch)
+        if pending is not None:
+            yield pending
+        pending = payload
+    if pending is not None:
+        yield pending
+
+
 def _pad_tail(batch: Dict, batch_size: int, key: str):
     """Pad every leading-batch-dim array field to batch_size by repeating
     the last item; returns (padded_batch, true_length)."""
@@ -200,25 +223,17 @@ class ZeroShotClassifier:
 
         preds, labels, accessions = [], [], []
         t0 = time.perf_counter()
-        pending = None  # (device probs, true len, onehots, accession list)
 
-        def drain():
-            nonlocal pending
-            if pending is None:
-                return
-            dev, k, onehots, accs = pending
+        def dispatch(padded, k, batch):
+            return (self.dispatch_batch(padded["image"]), k,
+                    batch["onehot"], batch["accession"])
+
+        for dev, k, onehots, accs in _one_deep_map(
+                dataset, n, self.batch_size, dispatch,
+                num_workers=num_workers):
             preds.extend(np.asarray(dev)[:k])
             labels.extend(onehots[:k])
             accessions.extend(accs[:k])
-            pending = None
-
-        for batch in _pipelined_batches(dataset, n, self.batch_size,
-                                        num_workers=num_workers):
-            padded, k = _pad_tail(batch, self.batch_size, "image")
-            dev = self.dispatch_batch(padded["image"])
-            drain()  # previous batch's host read overlaps this dispatch
-            pending = (dev, k, batch["onehot"], batch["accession"])
-        drain()
 
         y_pred = np.asarray(preds)
         y_true = np.asarray(labels)
@@ -271,24 +286,15 @@ class ZeroShotSegmenter:
         classifier engine."""
         n = min(len(dataset), limit) if limit else len(dataset)
         all_dice: list = []
-        pending = None  # (device dice, true len)
 
-        def drain():
-            nonlocal pending
-            if pending is None:
-                return
-            dev, k = pending
+        def dispatch(padded, k, batch):
+            return self._dice_fn(
+                self.params, jnp.asarray(padded["image"]),
+                jnp.asarray(padded["seg_mask"])), k
+
+        for dev, k in _one_deep_map(dataset, n, self.batch_size, dispatch,
+                                    num_workers=num_workers):
             all_dice.extend(np.asarray(dev)[:k])
-            pending = None
-
-        for batch in _pipelined_batches(dataset, n, self.batch_size,
-                                        num_workers=num_workers):
-            padded, k = _pad_tail(batch, self.batch_size, "image")
-            dev = self._dice_fn(self.params, jnp.asarray(padded["image"]),
-                                jnp.asarray(padded["seg_mask"]))
-            drain()
-            pending = (dev, k)
-        drain()
         dice = np.nanmean(np.stack(all_dice), axis=0)
         res = {f"dice_class_{i}": float(v) for i, v in enumerate(dice)}
         res["mean_dice"] = float(np.nanmean(dice))

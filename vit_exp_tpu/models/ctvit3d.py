@@ -133,25 +133,7 @@ class CosineSelfAttention(nn.Module):
 
         q, k, v = heads_first(q), heads_first(k), heads_first(v)
 
-        null_kv = self.param(
-            "null_kv",
-            _logical_init(nn.initializers.normal(1.0), ("heads", None, "kv")),
-            (self.heads, 2 * self.num_null_kv, self.dim_head),
-            self.policy.param_dtype,
-        )
-        # layout parity with attention.py:152: 'h (n r) d' with r=2 → unbind
-        # the r axis: k rows are the even entries, v rows the odd ones
-        nkv = null_kv.reshape(self.heads, self.num_null_kv, 2, self.dim_head)
-        null_k, null_v = nkv[:, :, 0], nkv[:, :, 1]
-
-        q_scale = self.param(
-            "q_scale", _logical_init(nn.initializers.ones_init(), ("kv",)),
-            (self.dim_head,), self.policy.param_dtype,
-        )
-        k_scale = self.param(
-            "k_scale", _logical_init(nn.initializers.ones_init(), ("kv",)),
-            (self.dim_head,), self.policy.param_dtype,
-        )
+        null_k, null_v, q_scale, k_scale = self._attn_params()
 
         impl = self.attn_impl
         # "pallas_static": static-max kernel (logits bounded by the
@@ -183,6 +165,30 @@ class CosineSelfAttention(nn.Module):
         return PDense(self.dim, axes=("heads", "embed"), use_bias=False,
                       policy=self.policy, name="to_out")(out)
 
+    def _attn_params(self):
+        """null kv + learned per-dim scales — ONE creation site shared by
+        the transpose and heads-packed paths so the param tree (names,
+        shapes, init) cannot fork between them (checkpoints stay
+        interchangeable; tests/test_int8_parity.py asserts it)."""
+        null_kv = self.param(
+            "null_kv",
+            _logical_init(nn.initializers.normal(1.0), ("heads", None, "kv")),
+            (self.heads, 2 * self.num_null_kv, self.dim_head),
+            self.policy.param_dtype,
+        )
+        # layout parity with attention.py:152: 'h (n r) d' with r=2 → unbind
+        # the r axis: k rows are the even entries, v rows the odd ones
+        nkv = null_kv.reshape(self.heads, self.num_null_kv, 2, self.dim_head)
+        q_scale = self.param(
+            "q_scale", _logical_init(nn.initializers.ones_init(), ("kv",)),
+            (self.dim_head,), self.policy.param_dtype,
+        )
+        k_scale = self.param(
+            "k_scale", _logical_init(nn.initializers.ones_init(), ("kv",)),
+            (self.dim_head,), self.policy.param_dtype,
+        )
+        return nkv[:, :, 0], nkv[:, :, 1], q_scale, k_scale
+
     def _packed_int8_attention(self, x, gamma_ln, wq, wkv, b, n, inner):
         """Zero-relayout serving attention: packed q/k/v from the
         3-output W8A8 qkv kernel → heads-packed int8 attention → W8A8
@@ -198,22 +204,7 @@ class CosineSelfAttention(nn.Module):
         q, k, v = fused_ln_qkv3_int8(
             x.astype(self.policy.compute_dtype), gamma_ln, wq, wkv)
 
-        null_kv = self.param(
-            "null_kv",
-            _logical_init(nn.initializers.normal(1.0), ("heads", None, "kv")),
-            (self.heads, 2 * self.num_null_kv, self.dim_head),
-            self.policy.param_dtype,
-        )
-        nkv = null_kv.reshape(self.heads, self.num_null_kv, 2, self.dim_head)
-        null_k, null_v = nkv[:, :, 0], nkv[:, :, 1]
-        q_scale = self.param(
-            "q_scale", _logical_init(nn.initializers.ones_init(), ("kv",)),
-            (self.dim_head,), self.policy.param_dtype,
-        )
-        k_scale = self.param(
-            "k_scale", _logical_init(nn.initializers.ones_init(), ("kv",)),
-            (self.dim_head,), self.policy.param_dtype,
-        )
+        null_k, null_v, q_scale, k_scale = self._attn_params()
         out = cosine_attention_packed(
             q, k, v, self.heads,
             null_k=null_k, null_v=null_v,

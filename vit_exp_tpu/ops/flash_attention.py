@@ -489,8 +489,6 @@ def _flash_fwd_static_int8(q, k, v, nk, nv, bound, scale, kv_len, block_q,
 # heads-packed serving forward: zero-relayout packed path
 # ---------------------------------------------------------------------------
 
-LANES = 128
-
 
 def hp_supported(n_q: int, n_kv: int, heads: int, d: int,
                  block_q: int = DEFAULT_BLOCK_Q,

@@ -25,10 +25,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vit_exp_tpu.ops.flash_attention import LANES
 from vit_exp_tpu.ops.geglu_ff import (DEFAULT_BLOCK_M, _interpret_default,
                                       _ln_stats, _pad_rows)
-
-LANES = 128
 
 
 def _fwd_kernel(x_ref, mu_ref, inv_ref, w_ref, o_ref):

@@ -246,6 +246,9 @@ class CTClipTrainer:
                 tcfg.eval_model_every
                 and (self.step + 1) % tcfg.eval_model_every == 0
             ):
+                # hooks block anyway — write step i's train line first so
+                # metrics.jsonl stays append-ordered by step
+                flush_pending()
                 for name, hook in self.eval_hooks.items():
                     res = hook(self.state.params)
                     self.logger.log(
@@ -256,6 +259,7 @@ class CTClipTrainer:
                 tcfg.sample_val_every and self.sample_hooks
                 and (self.step + 1) % tcfg.sample_val_every == 0
             ):
+                flush_pending()
                 for name, hook in self.sample_hooks.items():
                     paths = hook(self.state.params, self.step)
                     self.logger.log(
