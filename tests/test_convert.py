@@ -259,12 +259,12 @@ def _build_pair(s: Spec, seed=0, with_text=True):
     params = convert_ctclip_state_dict(
         sd, transformer_blocks=s.blocks, bert_config=bc
     )
-    return tower, bert, to_text, to_visual, temp, model, params
+    return tower, bert, to_text, to_visual, temp, model, params, sd
 
 
 @pytest.mark.parametrize("spec", [TOY, NONCUBE], ids=["cube", "noncube"])
 def test_tower_tokens_parity(spec):
-    tower, _, _, _, _, model, params = _build_pair(spec)
+    tower, _, _, _, _, model, params, _ = _build_pair(spec)
     rng = np.random.default_rng(0)
     video = rng.standard_normal(
         (2, 1, spec.t, spec.img, spec.img)).astype(np.float32)
@@ -279,7 +279,7 @@ def test_tower_tokens_parity(spec):
 
 def test_clip_score_parity():
     spec = TOY
-    tower, bert, to_text, to_visual, temp, model, params = _build_pair(
+    tower, bert, to_text, to_visual, temp, model, params, _ = _build_pair(
         spec, seed=1)
     rng = np.random.default_rng(1)
     video = rng.standard_normal(
@@ -320,7 +320,7 @@ def test_tower_tokens_parity_production_shape():
     BLAS-vs-XLA reduction-order drift accumulated over 8 blocks of 13.8k-
     token attention — layout/stride/transpose bugs produce O(1) errors."""
     spec = PROD
-    tower, _, _, _, _, model, params = _build_pair(spec, seed=2,
+    tower, _, _, _, _, model, params, _ = _build_pair(spec, seed=2,
                                                    with_text=False)
     rng = np.random.default_rng(2)
     video = rng.standard_normal(
@@ -334,3 +334,59 @@ def test_tower_tokens_parity_production_shape():
     assert ours.shape == ref.shape == (1, 24, 24, 24, 768)
     err = np.abs(ours - ref).max()
     assert err < spec.atol, f"max abs err {err}"
+
+
+def test_convert_checkpoint_cli_roundtrip(tmp_path):
+    """File-level conversion: a CTClip.{step}.pt saved with the DDP
+    'module.' key prefix (what accelerator.save(state_dict, unwrap=False)
+    writes under DDP; CTClip.load strips it at ct_clip.py:760-774) →
+    convert_checkpoint CLI → orbax restore equals the direct in-memory
+    conversion, with the step parsed from the filename."""
+    import yaml
+
+    from vit_exp_tpu.cli.convert_checkpoint import main as convert_main
+    from vit_exp_tpu.train.checkpoint import CheckpointManager
+    from vit_exp_tpu.train.optimizer import build_optimizer
+    from vit_exp_tpu.train.steps import create_train_state
+
+    *_, params, sd = _build_pair(TOY)
+    pt_path = tmp_path / "CTClip.12345.pt"
+    torch.save({f"module.{k}": v for k, v in sd.items()}, pt_path)
+
+    s = TOY
+    cfg = {
+        "results_folder": str(tmp_path / "out"),
+        "trainer": {"lr": 1e-4},
+        "arch": {"dim": s.dim, "image_size": s.img, "patch_size": s.p,
+                 "temporal_size": s.t, "temporal_patch_size": s.pt,
+                 "transformer_blocks": s.blocks, "dim_head": s.dh,
+                 "heads": s.heads},
+        # yaml text_encoder section: shapes the toy oracle's 2-layer BERT
+        "text_encoder": {"hidden_size": s.dim, "num_hidden_layers": 2,
+                         "num_attention_heads": 2, "intermediate_size": 32,
+                         "max_position_embeddings": 32},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    out_dir = tmp_path / "ckpts"
+    # the CLI builds BertConfig from the default tokenizer vocab; our toy
+    # oracle uses a tiny vocab, so pass a vocab file matching it
+    vocab_path = tmp_path / "vocab.txt"
+    vocab_path.write_text("\n".join(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+        + [f"tok{i}" for i in range(TOY.vocab - 5)]))
+    convert_main(["--config", str(cfg_path), "--torch_ckpt", str(pt_path),
+                  "--out", str(out_dir), "--vocab", str(vocab_path)])
+
+    tx = build_optimizer(ExperimentConfig.from_dict(cfg).trainer)
+    template = create_train_state(
+        jax.tree_util.tree_map(jnp.asarray, params), tx)
+    mgr = CheckpointManager(str(out_dir))
+    assert 12345 in mgr.all_steps()
+    restored = mgr.restore(12345, jax.eval_shape(lambda: template))
+    assert int(restored.step) == 12345
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        restored.params, params)

@@ -31,7 +31,7 @@ def main(argv=None):
 
     from vit_exp_tpu.core.config import load_config
     from vit_exp_tpu.data.tokenizer import load_tokenizer
-    from vit_exp_tpu.models.bert import BertConfig
+    from vit_exp_tpu.models.factory import bert_config_for
     from vit_exp_tpu.models.convert import load_ctclip_checkpoint
     from vit_exp_tpu.train.checkpoint import CheckpointManager
     from vit_exp_tpu.train.optimizer import build_optimizer
@@ -39,7 +39,7 @@ def main(argv=None):
 
     config = load_config(args.config)
     tokenizer = load_tokenizer(args.vocab)
-    bert_cfg = BertConfig(vocab_size=tokenizer.vocab_size)
+    bert_cfg = bert_config_for(config, tokenizer)
     params = load_ctclip_checkpoint(
         args.torch_ckpt,
         transformer_blocks=config.arch.transformer_blocks,

@@ -38,13 +38,12 @@ def main(argv=None):
 
     from vit_exp_tpu.core.config import load_config
     from vit_exp_tpu.data.tokenizer import load_tokenizer
-    from vit_exp_tpu.models.bert import BertConfig
     from vit_exp_tpu.models.ctclip import CTCLIP
-    from vit_exp_tpu.models.factory import build_ctclip
+    from vit_exp_tpu.models.factory import bert_config_for, build_ctclip
 
     config = load_config(args.config)
     tokenizer = load_tokenizer(args.vocab)
-    bert_cfg = BertConfig(vocab_size=tokenizer.vocab_size)
+    bert_cfg = bert_config_for(config, tokenizer)
     attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     model = build_ctclip(config, bert_config=bert_cfg, attn_impl=attn_impl)
 

@@ -44,13 +44,12 @@ def main(argv=None):
         volume_to_volume,
     )
     from vit_exp_tpu.eval.zero_shot import ZeroShotClassifier
-    from vit_exp_tpu.models.bert import BertConfig
     from vit_exp_tpu.models.ctclip import CTCLIP
-    from vit_exp_tpu.models.factory import build_ctclip
+    from vit_exp_tpu.models.factory import bert_config_for, build_ctclip
 
     config = load_config(args.config)
     tokenizer = load_tokenizer(args.vocab)
-    bert_cfg = BertConfig(vocab_size=tokenizer.vocab_size)
+    bert_cfg = bert_config_for(config, tokenizer)
     attn_impl = ("pallas_static" if jax.default_backend() == "tpu"
                  else "xla")  # inference-only static-max kernel
     ff_impl = "pallas" if attn_impl == "pallas_static" else "xla"

@@ -147,8 +147,7 @@ def main(argv=None):
 
     from vit_exp_tpu.core.config import load_config
     from vit_exp_tpu.data.tokenizer import load_tokenizer
-    from vit_exp_tpu.models.bert import BertConfig
-    from vit_exp_tpu.models.factory import build_ctclip
+    from vit_exp_tpu.models.factory import bert_config_for, build_ctclip
     from vit_exp_tpu.train.trainer import CTClipTrainer
 
     config = load_config(args.config)
@@ -165,7 +164,7 @@ def main(argv=None):
     np.random.seed(config.random_seed)
 
     tokenizer = load_tokenizer(args.vocab)
-    bert_cfg = BertConfig(vocab_size=tokenizer.vocab_size)
+    bert_cfg = bert_config_for(config, tokenizer)
     attn_impl = args.attn_impl or (
         "pallas" if jax.default_backend() == "tpu" else "xla"
     )

@@ -37,14 +37,13 @@ def main(argv=None):
     from vit_exp_tpu.core.config import load_config
     from vit_exp_tpu.data.tokenizer import load_tokenizer
     from vit_exp_tpu.eval.zero_shot import ZeroShotSegmenter
-    from vit_exp_tpu.models.bert import BertConfig
     from vit_exp_tpu.models.ctclip import CTCLIP
-    from vit_exp_tpu.models.factory import build_ctclip
+    from vit_exp_tpu.models.factory import bert_config_for, build_ctclip
 
     config = load_config(args.config)
     assert config.ct_clip_arch.use_seg, "config must enable use_seg"
     tokenizer = load_tokenizer(args.vocab)
-    bert_cfg = BertConfig(vocab_size=tokenizer.vocab_size)
+    bert_cfg = bert_config_for(config, tokenizer)
     attn_impl = ("pallas_static" if jax.default_backend() == "tpu"
                  else "xla")  # inference-only static-max kernel
     ff_impl = "pallas" if attn_impl == "pallas_static" else "xla"

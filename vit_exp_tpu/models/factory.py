@@ -15,6 +15,17 @@ from vit_exp_tpu.models.ctclip import CTCLIP
 from vit_exp_tpu.models.ctvit3d import CTViT3D
 
 
+def bert_config_for(config: ExperimentConfig, tokenizer) -> BertConfig:
+    """BertConfig for the text tower: BERT-base at the tokenizer's vocab
+    size (the reference always pairs CTCLIP with BERT-base,
+    CTCLIPTrainer.py:553-581), with per-field overrides from the yaml
+    `text_encoder:` section (our extension — lets smaller towers or
+    differently-shaped reference checkpoints convert through the CLIs)."""
+    kwargs = dict(config.extra.get("text_encoder") or {})
+    kwargs.setdefault("vocab_size", tokenizer.vocab_size)
+    return BertConfig(**kwargs)
+
+
 def build_image_encoder(
     arch: ArchConfig, *, attn_impl: str = "xla", ff_impl: str = "xla",
     remat: bool = False, fuse_qkv: bool = False,
