@@ -4,6 +4,7 @@ import base64
 import io
 import json
 import threading
+import time
 import urllib.request
 
 import numpy as np
@@ -135,3 +136,76 @@ def test_classify_path_disabled_without_root():
 
     with pytest.raises(ValueError, match="disabled"):
         _decode_volume({"path": "/tmp/anything.npy"}, None, None)
+
+
+def test_concurrent_classify_matches_sequential(server):
+    """Micro-batched concurrent requests return the same probabilities as
+    the same volumes sent one at a time."""
+    rng = np.random.default_rng(3)
+    vols = [rng.uniform(-1, 1, (8, 8, 8)).astype(np.float32)
+            for _ in range(6)]
+    sequential = [
+        _post(server, "/classify", {"volume": v.tolist()})[1]["probs"]
+        for v in vols]
+
+    results = [None] * len(vols)
+
+    def worker(i):
+        results[i] = _post(server, "/classify", {"volume": vols[i].tolist()})
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(vols))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for (code, body), want in zip(results, sequential):
+        assert code == 200
+        for k, v in body["probs"].items():
+            np.testing.assert_allclose(v, want[k], atol=1e-5)
+
+
+def test_micro_batcher_coalesces_pads_and_propagates_errors():
+    """Dispatcher behavior isolated from HTTP: a slow fake engine forces
+    queueing, so 6 concurrent requests arrive in <=2 dispatches with the
+    3-item batch padded to max_batch; engine failures reach every waiter."""
+    from vit_exp_tpu.cli.serve import MicroBatcher
+
+    class FakeEngine:
+        def __init__(self):
+            self.batch_sizes = []
+
+        def predict_batch(self, vols):
+            self.batch_sizes.append(len(vols))
+            time.sleep(0.05)  # lets the queue fill behind the dispatch
+            return vols[:, 0, 0, 0, :2]  # per-volume marker values
+
+    eng = FakeEngine()
+    b = MicroBatcher(eng, max_batch=4, window_ms=30.0)
+    vols = [np.full((1, 4, 4, 4), i, np.float32) for i in range(6)]
+    out = [None] * 6
+
+    def worker(i):
+        out[i] = b.classify(vols[i])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(6):  # each request got ITS volume's row despite padding
+        np.testing.assert_array_equal(out[i], [i, i])
+    assert sum(eng.batch_sizes) >= 6
+    assert len(eng.batch_sizes) <= 3
+    assert max(b.stats["max_batch_seen"], 0) >= 2  # coalescing happened
+    assert all(s in (1, 4) for s in eng.batch_sizes)  # only 2 program shapes
+
+    class Boom:
+        def predict_batch(self, vols):
+            raise RuntimeError("device on fire")
+
+    b2 = MicroBatcher(Boom(), max_batch=4, window_ms=1.0)
+    with pytest.raises(RuntimeError, match="device on fire"):
+        b2.classify(vols[0])
+    b.close()
+    b2.close()

@@ -4,7 +4,10 @@ Production-serving counterpart of the batch CLIs: loads a CTCLIP
 checkpoint once, keeps weights on-device and prompt embeddings cached
 (the FAST-engine trick, zero_shot.py:480-497), and answers HTTP requests
 from the warm jitted programs — no per-request compile, load, or
-host→device weight transfer.
+host→device weight transfer.  Concurrent /classify requests are
+micro-batched: a dispatcher thread coalesces up to --max_batch volumes
+into one device call (batch 4 is the chip's measured throughput optimum;
+lone requests keep batch-1 latency — see MicroBatcher).
 
 Endpoints (stdlib http.server; JSON in/out):
   GET  /health            → {"status": "ok", "pathologies": [...]}
@@ -27,6 +30,7 @@ import argparse
 import base64
 import io
 import json
+import queue
 import threading
 import time
 
@@ -64,11 +68,102 @@ def _decode_volume(payload, expect_shape, data_root=None):
     return arr
 
 
+class MicroBatcher:
+    """Coalesce concurrent /classify requests into one device dispatch.
+
+    The chip's throughput peaks at batch 4 (BENCH_NOTES.md batch sweep:
+    25.35 vol/s at 4 vs ~21 at 1), but HTTP clients send one volume per
+    request.  Handler threads enqueue volumes; a single dispatcher thread
+    drains up to `max_batch` of them into ONE jitted call.  While a
+    dispatch is in flight (~160 ms) new requests pile up in the queue and
+    form the next batch — continuous batching, so `window_ms` (the extra
+    time the dispatcher waits for companions after a request arrives at an
+    idle server) can stay near zero and lone requests keep batch-1 latency.
+
+    Only two program shapes ever run — batch 1 and batch `max_batch`
+    (2..max-1 pad by repeating the last volume) — so remote-compile cost
+    stays at two programs, both warmed at startup.
+    """
+
+    def __init__(self, engine, max_batch: int = 4, window_ms: float = 2.0):
+        self.engine = engine
+        self.max_batch = max(1, int(max_batch))
+        self.window_s = window_ms / 1e3
+        self.stats = {"dispatches": 0, "volumes": 0, "max_batch_seen": 0}
+        # serializes device dispatches; /embed shares it via the handler
+        self.lock = threading.Lock()
+        self._q: queue.Queue = queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def classify(self, volume):
+        """(C, D, H, W) volume → (n_pathologies,) probs; blocks until the
+        dispatcher has run the batch containing this request."""
+        done = threading.Event()
+        slot = {}
+        self._q.put((volume, slot, done))
+        done.wait()
+        if "err" in slot:
+            raise slot["err"]
+        return slot["probs"]
+
+    def close(self):
+        self._q.put(None)
+        self._thread.join(timeout=5)
+
+    def _collect(self):
+        first = self._q.get()
+        if first is None:
+            return None
+        items = [first]
+        deadline = time.perf_counter() + self.window_s
+        while len(items) < self.max_batch:
+            timeout = deadline - time.perf_counter()
+            try:
+                nxt = self._q.get(timeout=max(timeout, 0.0))
+            except queue.Empty:
+                break
+            if nxt is None:  # propagate shutdown after this batch
+                self._q.put(None)
+                break
+            items.append(nxt)
+        return items
+
+    def _run(self):
+        import numpy as np
+
+        while True:
+            items = self._collect()
+            if items is None:
+                return
+            vols = np.stack([v for v, _, _ in items])
+            k = len(items)
+            if 1 < k < self.max_batch:  # pad: only 2 program shapes exist
+                vols = np.concatenate(
+                    [vols, np.repeat(vols[-1:], self.max_batch - k, axis=0)])
+            try:
+                with self.lock:
+                    probs = self.engine.predict_batch(vols)[:k]
+                self.stats["dispatches"] += 1
+                self.stats["volumes"] += k
+                self.stats["max_batch_seen"] = max(
+                    self.stats["max_batch_seen"], k)
+                for (_, slot, done), p in zip(items, probs):
+                    slot["probs"] = p
+                    done.set()
+            except Exception as e:  # noqa: BLE001 — surfaced per request
+                for _, slot, done in items:
+                    slot["err"] = e
+                    done.set()
+
+
 def build_server(engine, latent_fn, expect_shape, port: int,
-                 host: str = "127.0.0.1", data_root=None):
+                 host: str = "127.0.0.1", data_root=None,
+                 max_batch: int = 4, window_ms: float = 2.0):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    lock = threading.Lock()  # one dispatch at a time; TPU is serial anyway
+    batcher = MicroBatcher(engine, max_batch=max_batch, window_ms=window_ms)
+    lock = batcher.lock  # /embed dispatches interleave with batches
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -85,7 +180,9 @@ def build_server(engine, latent_fn, expect_shape, port: int,
         def do_GET(self):
             if self.path == "/health":
                 self._send(200, {"status": "ok",
-                                 "pathologies": engine.pathologies})
+                                 "pathologies": engine.pathologies,
+                                 "batching": dict(batcher.stats,
+                                                  max_batch=batcher.max_batch)})
             else:
                 self._send(404, {"error": "unknown endpoint"})
 
@@ -97,27 +194,29 @@ def build_server(engine, latent_fn, expect_shape, port: int,
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 arr = _decode_volume(payload, expect_shape, data_root)
                 t0 = time.perf_counter()
-                with lock:
-                    if self.path in ("/classify", "/classify_path"):
-                        probs = engine.predict_batch(arr[None])[0]
-                        out = {
-                            "probs": {p: float(v) for p, v in
-                                      zip(engine.pathologies, probs)},
-                            "ms": (time.perf_counter() - t0) * 1e3,
-                        }
-                    elif self.path == "/embed":
+                if self.path in ("/classify", "/classify_path"):
+                    probs = batcher.classify(arr)
+                    out = {
+                        "probs": {p: float(v) for p, v in
+                                  zip(engine.pathologies, probs)},
+                        "ms": (time.perf_counter() - t0) * 1e3,
+                    }
+                elif self.path == "/embed":
+                    with lock:
                         out = {
                             "latent": [float(x) for x in latent_fn(arr)],
                             "ms": (time.perf_counter() - t0) * 1e3,
                         }
-                    else:
-                        self._send(404, {"error": "unknown endpoint"})
-                        return
+                else:
+                    self._send(404, {"error": "unknown endpoint"})
+                    return
                 self._send(200, out)
             except Exception as e:  # surface errors to the client
                 self._send(400, {"error": str(e)})
 
-    return ThreadingHTTPServer((host, port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.batcher = batcher  # exposed for warmup + tests
+    return server
 
 
 def main(argv=None):
@@ -142,8 +241,17 @@ def main(argv=None):
                         ".py).  --no-int8 for pure bf16")
     parser.add_argument("--warmup", action=argparse.BooleanOptionalAction,
                         default=True,
-                        help="compile both programs before accepting "
+                        help="compile all programs before accepting "
                         "traffic (--no-warmup to skip)")
+    parser.add_argument("--max_batch", type=int, default=4,
+                        help="concurrent requests coalesce into one "
+                        "dispatch of up to this many volumes (4 = the "
+                        "chip's measured throughput optimum; 1 disables "
+                        "batching)")
+    parser.add_argument("--batch_window_ms", type=float, default=2.0,
+                        help="how long the dispatcher waits for companion "
+                        "requests when the server is idle; under load the "
+                        "in-flight dispatch is the natural window")
     args = parser.parse_args(argv)
 
     import flax.linen as nn
@@ -199,15 +307,19 @@ def main(argv=None):
     def latent_fn(arr):
         return np.asarray(_latent(jnp.asarray(arr[None])))[0]
 
-    if args.warmup:  # compile both programs before accepting traffic
+    if args.warmup:  # compile every program shape before accepting traffic
         t0 = time.perf_counter()
         dummy = np.zeros((1, a.channels) + expect_shape, np.float32)
-        engine.predict_batch(dummy)
+        engine.predict_batch(dummy)  # batch-1 (lone requests)
+        if args.max_batch > 1:       # batch-max (coalesced requests)
+            engine.predict_batch(np.repeat(dummy, args.max_batch, axis=0))
         latent_fn(dummy[0])
         print(f"warmup compile {time.perf_counter() - t0:.1f}s", flush=True)
 
     server = build_server(engine, latent_fn, expect_shape, args.port,
-                          host=args.host, data_root=args.data_root)
+                          host=args.host, data_root=args.data_root,
+                          max_batch=args.max_batch,
+                          window_ms=args.batch_window_ms)
     print(f"serving on {args.host}:{args.port} "
           f"(volume {expect_shape}, {len(engine.pathologies)} pathologies)",
           flush=True)
