@@ -1,0 +1,148 @@
+"""Serving load test: concurrent HTTP clients vs the micro-batcher.
+
+Starts cli/serve.py's server in-process (production arch from
+configs/ct_clip_vit_from_scratch.yaml unless --config, random weights —
+throughput is weight-independent) and hammers /classify with N client
+threads for a fixed number of requests, reporting end-to-end volumes/sec
+and the dispatcher's batching stats.  The interesting comparison:
+
+    python scripts/bench_serve.py --clients 1          # batch-1 latency path
+    python scripts/bench_serve.py --clients 8          # micro-batched
+    python scripts/bench_serve.py --clients 8 --max_batch 1   # old behavior
+
+On CPU this exercises plumbing only; run on the TPU for real numbers
+(expect ~21 vol/s at --max_batch 1 vs ~25 at 4, per BENCH_NOTES.md's
+batch sweep — the server adds JSON + HTTP on top).
+
+Volumes ship as base64 .npy (the compact encoding clients should use);
+--payload list measures the worst-case JSON nested-list path instead.
+"""
+
+import argparse
+import base64
+import io
+import json
+import threading
+import time
+import urllib.request
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="configs/ct_clip_vit_from_scratch.yaml")
+    p.add_argument("--clients", type=int, default=8)
+    p.add_argument("--requests", type=int, default=48,
+                   help="total requests across all clients")
+    p.add_argument("--max_batch", type=int, default=4)
+    p.add_argument("--batch_window_ms", type=float, default=2.0)
+    p.add_argument("--payload", choices=["npy", "list"], default="npy")
+    p.add_argument("--int8", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (plumbing smoke; the "
+                   "sitecustomize-registered TPU plugin otherwise wins)")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from vit_exp_tpu.cli import serve as serve_mod
+
+    # Build the server exactly as the CLI would, but on an ephemeral port
+    # and without blocking in serve_forever.
+    serve_argv = ["--config", args.config, "--port", "0",
+                  "--max_batch", str(args.max_batch),
+                  "--batch_window_ms", str(args.batch_window_ms)]
+    if not args.int8:
+        serve_argv.append("--no-int8")
+
+    # main() runs serve_forever; reuse its wiring by monkey-patching the
+    # last step instead of duplicating model/engine construction here.
+    started = {}
+    real_build = serve_mod.build_server
+
+    def capture(*a, **kw):
+        srv = real_build(*a, **kw)
+        started["server"] = srv
+        started["expect_shape"] = a[2]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        raise _Started
+
+    class _Started(Exception):
+        pass
+
+    serve_mod.build_server = capture
+    try:
+        serve_mod.main(serve_argv)
+    except _Started:
+        pass
+    finally:
+        serve_mod.build_server = real_build
+    srv = started["server"]
+    url = f"http://127.0.0.1:{srv.server_address[1]}/classify"
+    d, h, w = started["expect_shape"]
+
+    rng = np.random.default_rng(0)
+    vol = rng.uniform(-1.0, 1.0, (d, h, w)).astype(np.float32)
+    if args.payload == "npy":
+        buf = io.BytesIO()
+        np.save(buf, vol)
+        body = json.dumps(
+            {"volume": base64.b64encode(buf.getvalue()).decode()}).encode()
+    else:
+        body = json.dumps({"volume": vol.tolist()}).encode()
+
+    def post():
+        req = urllib.request.Request(
+            url, data=body, headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read())
+
+    post()  # warm the HTTP path (programs are compiled by --warmup)
+
+    n = args.requests
+    counter = {"left": n}
+    lock = threading.Lock()
+    lat = []
+
+    def client():
+        while True:
+            with lock:
+                if counter["left"] == 0:
+                    return
+                counter["left"] -= 1
+            t0 = time.perf_counter()
+            post()
+            with lock:
+                lat.append(time.perf_counter() - t0)
+
+    base_stats = dict(srv.batcher.stats)
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client) for _ in range(args.clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+
+    stats = {k: srv.batcher.stats[k] - base_stats.get(k, 0)
+             for k in ("dispatches", "volumes")}
+    lat.sort()
+    print(json.dumps({
+        "clients": args.clients, "requests": n, "max_batch": args.max_batch,
+        "vol_per_s": round(n / dt, 3),
+        "p50_ms": round(lat[len(lat) // 2] * 1e3, 1),
+        "p95_ms": round(lat[int(len(lat) * 0.95)] * 1e3, 1),
+        "dispatches": stats["dispatches"],
+        "mean_batch": round(stats["volumes"] / max(stats["dispatches"], 1),
+                            2),
+    }))
+    srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()
