@@ -5,7 +5,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from vit_exp_tpu.ops.ring_attention import ring_attention
 
@@ -120,12 +120,12 @@ def test_ring_pallas_chunks_match_full_and_grad():
     mesh = _mesh()
     spec = P(None, None, "seq", None)
 
-    # check_rep=False: pallas_call does not declare varying-mesh-axes info
+    # check_vma=False: pallas_call does not declare varying-mesh-axes info
     ring = shard_map(
         lambda q, k, v: ring_attention(q, k, v, axis_name="seq",
                                        impl="pallas"),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )
     out = jax.jit(ring)(q, k, v)
     ref = _full_attention(q, k, v)
@@ -177,7 +177,7 @@ def test_cosine_attention_ring_impl_with_nulls():
     ring = shard_map(
         local, mesh=mesh,
         in_specs=(tok, tok, tok, rep3, rep3, rep1, rep1),
-        out_specs=tok, check_rep=False,
+        out_specs=tok, check_vma=False,
     )
     out = jax.jit(ring)(q, k, v, null_k, null_v, q_scale, k_scale)
     ref = cosine_attention(
@@ -228,7 +228,7 @@ def test_ctvit3d_seq_sharded_encode():
     sharded = jax.jit(shard_map(
         lambda p, v: ring_model.apply({"params": p}, v),
         mesh=mesh, in_specs=(P(), P()), out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     ))
     out_ring = sharded(params, video)
     out_ref = ref_model.apply({"params": params}, video)
