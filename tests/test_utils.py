@@ -1,5 +1,6 @@
 """Utils tests: logging, profiling, multihost guards."""
 
+import os
 import json
 import time
 
@@ -33,3 +34,27 @@ def test_step_timer_skips_compile_steps():
 def test_multihost_single_process():
     assert is_main_process()
     assert process_count() == 1
+
+
+def test_compile_cache_populates_and_respects_env(tmp_path, monkeypatch):
+    import jax
+    import jax.numpy as jnp
+
+    from vit_exp_tpu.core.compile_cache import enable_compilation_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        d = str(tmp_path / "xla")
+        assert enable_compilation_cache(d) == d
+        float(jax.jit(lambda x: (x * 3).sum())(jnp.ones((256, 256))))
+        assert sum(len(f) for _, _, f in os.walk(d)) > 0
+
+        monkeypatch.setenv("VIT_EXP_NO_COMPILE_CACHE", "1")
+        assert enable_compilation_cache() is None
+        monkeypatch.delenv("VIT_EXP_NO_COMPILE_CACHE")
+
+        # upstream env var wins untouched (JAX manages it itself)
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/elsewhere")
+        assert enable_compilation_cache() == "/elsewhere"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

@@ -37,6 +37,10 @@ def main(argv=None):
     from vit_exp_tpu.train.optimizer import build_optimizer
     from vit_exp_tpu.train.steps import create_train_state
 
+    from vit_exp_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     config = load_config(args.config)
     tokenizer = load_tokenizer(args.vocab)
     bert_cfg = bert_config_for(config, tokenizer)

@@ -80,6 +80,10 @@ def main(argv=None):
     parser.add_argument("--device", action="store_true")
     args = parser.parse_args(argv)
 
+    from vit_exp_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     df = pd.read_csv(args.metadata).set_index("VolumeName")
     files = []
     for dirpath, _, names in os.walk(args.src):

@@ -37,10 +37,12 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
+    from vit_exp_tpu.core.compile_cache import enable_compilation_cache
     from vit_exp_tpu.data.video import (VideoDataset, cast_num_frames_mod1,
                                         write_nifti)
     from vit_exp_tpu.models.ctvit import CTViT
 
+    enable_compilation_cache()
     model = CTViT(
         dim=args.dim, image_size=args.image_size,
         patch_size=args.patch_size,

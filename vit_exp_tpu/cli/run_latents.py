@@ -38,6 +38,7 @@ def main(argv=None):
 
     from vit_exp_tpu.core.config import load_config
     from vit_exp_tpu.data.tokenizer import load_tokenizer
+    from vit_exp_tpu.core.compile_cache import enable_compilation_cache
     from vit_exp_tpu.eval.latents import (
         dump_latents,
         report_to_volume,
@@ -47,6 +48,7 @@ def main(argv=None):
     from vit_exp_tpu.models.ctclip import CTCLIP
     from vit_exp_tpu.models.factory import bert_config_for, build_ctclip
 
+    enable_compilation_cache()
     config = load_config(args.config)
     tokenizer = load_tokenizer(args.vocab)
     bert_cfg = bert_config_for(config, tokenizer)

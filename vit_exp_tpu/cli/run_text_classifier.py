@@ -54,6 +54,10 @@ def main(argv=None):
     parser.add_argument("--results_folder", default="./results_text_classifier")
     args = parser.parse_args(argv)
 
+    from vit_exp_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from vit_exp_tpu.data.tokenizer import load_tokenizer
     from vit_exp_tpu.models.bert import BertConfig
     from vit_exp_tpu.text_classifier.augmentation import (

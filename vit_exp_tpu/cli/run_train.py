@@ -150,6 +150,10 @@ def main(argv=None):
     from vit_exp_tpu.models.factory import bert_config_for, build_ctclip
     from vit_exp_tpu.train.trainer import CTClipTrainer
 
+    from vit_exp_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     config = load_config(args.config)
     os.makedirs(config.results_folder, exist_ok=True)
     # snapshot git state into the exp folder (run_train.py:108-112)

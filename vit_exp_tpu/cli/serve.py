@@ -265,6 +265,10 @@ def main(argv=None):
     from vit_exp_tpu.models.ctclip import CTCLIP
     from vit_exp_tpu.models.factory import bert_config_for, build_ctclip
 
+    from vit_exp_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     config = load_config(args.config)
     tokenizer = load_tokenizer(args.vocab)
     bert_cfg = bert_config_for(config, tokenizer)

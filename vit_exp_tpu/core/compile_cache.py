@@ -1,0 +1,45 @@
+"""Persistent XLA executable cache for every CLI entry point.
+
+The flagship programs (13.8k-token CTViT3D encode, the fused train step)
+cost 30-120 s each to compile — and on axon-relayed TPUs that compile
+happens remotely on every process start.  JAX's persistent compilation
+cache keys serialized executables by (HLO, compile options, backend
+version) hash, so a serve/eval/train restart with unchanged code reloads
+in milliseconds instead.
+
+Called by every CLI main() right after the jax import.  Opt out with
+VIT_EXP_NO_COMPILE_CACHE=1 (e.g. when benchmarking compile time itself);
+JAX_COMPILATION_CACHE_DIR (the upstream env var) overrides the location
+and, when set, JAX enables the cache on its own — we leave it alone.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compilation_cache(path: str | None = None) -> str | None:
+    """Enable the persistent compile cache; returns the dir or None.
+
+    Safe to call multiple times and before/after backend init (JAX reads
+    the config at compile time).  Never raises: a read-only filesystem or
+    an old jax just leaves caching off.
+    """
+    if os.environ.get("VIT_EXP_NO_COMPILE_CACHE"):
+        return None
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return os.environ["JAX_COMPILATION_CACHE_DIR"]
+    import jax
+
+    if path is None:
+        path = os.path.join(
+            os.path.expanduser("~"), ".cache", "vit_exp_tpu", "xla")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache even fast compiles: the relay round-trip dominates, not
+        # local XLA time, so the upstream 1 s threshold misses real wins
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # noqa: BLE001 — caching is best-effort
+        return None
+    return path
