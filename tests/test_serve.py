@@ -209,3 +209,48 @@ def test_micro_batcher_coalesces_pads_and_propagates_errors():
         b2.classify(vols[0])
     b.close()
     b2.close()
+
+
+def test_micro_batcher_pad_all_single_request():
+    """pad_all=True (mesh serving): even a lone request dispatches at the
+    full max_batch shape, keeping the leading dim divisible by the mesh's
+    shard count."""
+    from vit_exp_tpu.cli.serve import MicroBatcher
+
+    class FakeEngine:
+        batch_sizes = []
+
+        def predict_batch(self, vols):
+            self.batch_sizes.append(len(vols))
+            return vols[:, 0, 0, 0, :2]
+
+    eng = FakeEngine()
+    b = MicroBatcher(eng, max_batch=4, window_ms=1.0, pad_all=True)
+    out = b.classify(np.full((1, 4, 4, 4), 7, np.float32))
+    np.testing.assert_array_equal(out, [7, 7])
+    assert eng.batch_sizes == [4]
+    b.close()
+
+
+def test_zero_shot_cls_cli_mesh(tmp_path):
+    """--mesh on the classification CLI: synthetic eval sharded over the
+    8-device CPU mesh writes the same artifact set as single-device."""
+    import yaml
+
+    from vit_exp_tpu.cli.run_zero_shot_cls import main as cls_main
+
+    cfg = {
+        "results_folder": str(tmp_path / "run"),
+        "trainer": {"lr": 1e-4},
+        "arch": {"dim": 24, "image_size": 8, "patch_size": 4,
+                 "temporal_size": 8, "temporal_patch_size": 4,
+                 "transformer_blocks": 1, "dim_head": 4, "heads": 2},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out = tmp_path / "zs"
+    cls_main(["--config", str(cfg_path), "--results_folder", str(out),
+              "--synthetic", "6", "--batch_size", "1", "--mesh", "4,2,1",
+              "--no-int8"])
+    run_dir = out / "random_init"
+    assert (run_dir / "aurocs.csv").exists() or any(run_dir.iterdir())

@@ -71,7 +71,13 @@ def main(argv=None):
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--torch_ckpt", action="store_true",
                         help="model_path is a reference CTClip.*.pt")
-    parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--batch_size", type=int, default=4,
+                        help="per-chip batch (4 = measured optimum)")
+    parser.add_argument("--mesh", default=None, metavar="DATA,FSDP,MODEL",
+                        help="shard eval over a device mesh, e.g. 8,1,1 "
+                        "(-1 = all remaining devices): volumes split over "
+                        "the data/fsdp axes, global batch = batch_size x "
+                        "shards.  Default: single device")
     args = parser.parse_args(argv)
 
     import jax
@@ -140,8 +146,14 @@ def main(argv=None):
                                  torch_ckpt=args.torch_ckpt,
                                  bert_cfg=bert_cfg)
             tag = os.path.basename(path)
+        mesh = None
+        if args.mesh:
+            from vit_exp_tpu.cli.run_train import mesh_config_from
+            from vit_exp_tpu.core.mesh import create_mesh
+
+            mesh = create_mesh(mesh_config_from(config, args.mesh))
         engine = ZeroShotClassifier(
-            model, params, tokenizer, batch_size=args.batch_size
+            model, params, tokenizer, batch_size=args.batch_size, mesh=mesh
         )
         out = os.path.join(args.results_folder, tag)
         res = engine.infer(dataset, results_folder=out)

@@ -83,11 +83,18 @@ class MicroBatcher:
     Only two program shapes ever run — batch 1 and batch `max_batch`
     (2..max-1 pad by repeating the last volume) — so remote-compile cost
     stays at two programs, both warmed at startup.
+
+    `pad_all=True` pads EVERY batch (including singletons) to `max_batch`
+    — required when the engine shards volumes over a device mesh, whose
+    leading dim must stay divisible by the shard count; then only the one
+    max-batch program exists.
     """
 
-    def __init__(self, engine, max_batch: int = 4, window_ms: float = 2.0):
+    def __init__(self, engine, max_batch: int = 4, window_ms: float = 2.0,
+                 pad_all: bool = False):
         self.engine = engine
         self.max_batch = max(1, int(max_batch))
+        self.pad_all = pad_all
         self.window_s = window_ms / 1e3
         self.stats = {"dispatches": 0, "volumes": 0, "max_batch_seen": 0}
         # serializes device dispatches; /embed shares it via the handler
@@ -138,7 +145,8 @@ class MicroBatcher:
                 return
             vols = np.stack([v for v, _, _ in items])
             k = len(items)
-            if 1 < k < self.max_batch:  # pad: only 2 program shapes exist
+            lo = 2 if not self.pad_all else 1
+            if lo <= k < self.max_batch:  # pad: bounded set of program shapes
                 vols = np.concatenate(
                     [vols, np.repeat(vols[-1:], self.max_batch - k, axis=0)])
             try:
@@ -159,10 +167,12 @@ class MicroBatcher:
 
 def build_server(engine, latent_fn, expect_shape, port: int,
                  host: str = "127.0.0.1", data_root=None,
-                 max_batch: int = 4, window_ms: float = 2.0):
+                 max_batch: int = 4, window_ms: float = 2.0,
+                 pad_all: bool = False):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    batcher = MicroBatcher(engine, max_batch=max_batch, window_ms=window_ms)
+    batcher = MicroBatcher(engine, max_batch=max_batch, window_ms=window_ms,
+                           pad_all=pad_all)
     lock = batcher.lock  # /embed dispatches interleave with batches
 
     class Handler(BaseHTTPRequestHandler):
@@ -252,6 +262,13 @@ def main(argv=None):
                         help="how long the dispatcher waits for companion "
                         "requests when the server is idle; under load the "
                         "in-flight dispatch is the natural window")
+    parser.add_argument("--mesh", default=None, metavar="DATA,FSDP,MODEL",
+                        help="serve from a device mesh, e.g. 4,1,1 (-1 = "
+                        "all remaining devices): each dispatch shards its "
+                        "volumes over the data/fsdp axes.  --max_batch must "
+                        "be a multiple of data*fsdp (per-chip optimum 4 => "
+                        "max_batch 4*shards); every dispatch pads to "
+                        "max_batch.  Default: single device")
     args = parser.parse_args(argv)
 
     import flax.linen as nn
@@ -298,7 +315,18 @@ def main(argv=None):
                        jnp.ones((1, 16), jnp.int32))
         )["params"]
 
-    engine = ZeroShotClassifier(model, params, tokenizer, batch_size=1)
+    mesh = None
+    if args.mesh:
+        from vit_exp_tpu.cli.run_train import mesh_config_from
+        from vit_exp_tpu.core.mesh import create_mesh
+
+        mesh = create_mesh(mesh_config_from(config, args.mesh))
+        shards = mesh.shape["data"] * mesh.shape["fsdp"]
+        if args.max_batch % shards:
+            parser.error(f"--max_batch {args.max_batch} must be a multiple "
+                         f"of the mesh's data*fsdp shards ({shards})")
+    engine = ZeroShotClassifier(model, params, tokenizer, batch_size=1,
+                                mesh=mesh)
     engine.prepare()
 
     @jax.jit
@@ -314,8 +342,9 @@ def main(argv=None):
     if args.warmup:  # compile every program shape before accepting traffic
         t0 = time.perf_counter()
         dummy = np.zeros((1, a.channels) + expect_shape, np.float32)
-        engine.predict_batch(dummy)  # batch-1 (lone requests)
-        if args.max_batch > 1:       # batch-max (coalesced requests)
+        if mesh is None:
+            engine.predict_batch(dummy)  # batch-1 (lone requests)
+        if args.max_batch > 1:           # batch-max (coalesced requests)
             engine.predict_batch(np.repeat(dummy, args.max_batch, axis=0))
         latent_fn(dummy[0])
         print(f"warmup compile {time.perf_counter() - t0:.1f}s", flush=True)
@@ -323,7 +352,8 @@ def main(argv=None):
     server = build_server(engine, latent_fn, expect_shape, args.port,
                           host=args.host, data_root=args.data_root,
                           max_batch=args.max_batch,
-                          window_ms=args.batch_window_ms)
+                          window_ms=args.batch_window_ms,
+                          pad_all=mesh is not None)
     print(f"serving on {args.host}:{args.port} "
           f"(volume {expect_shape}, {len(engine.pathologies)} pathologies)",
           flush=True)
