@@ -172,6 +172,16 @@ def test_zero_shot_seg_engine(tmp_path):
     per_sample = np.load(tmp_path / "seg" / "dice_scores.npy")
     assert per_sample.shape == (3, 3)
 
+    # mesh-sharded engine drives all 8 devices and matches single-device
+    from vit_exp_tpu.core.mesh import MeshConfig, create_mesh
+
+    sharded = ZeroShotSegmenter(model, params, batch_size=1,
+                                mesh=create_mesh(MeshConfig()))
+    assert sharded.batch_size == 8
+    res3 = sharded.infer(ds)
+    for k, v in res.items():
+        np.testing.assert_allclose(res3[k], v, atol=1e-6, err_msg=k)
+
 
 def test_zero_shot_engine_sharded(tmp_path):
     """Engine drives the whole 8-device mesh (multi-chip eval path)."""

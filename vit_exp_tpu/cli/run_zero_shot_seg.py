@@ -28,6 +28,12 @@ def main(argv=None):
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--torch_ckpt", action="store_true")
     parser.add_argument("--vocab", default=None)
+    parser.add_argument("--batch_size", type=int, default=1,
+                        help="per-chip volumes per dice dispatch")
+    parser.add_argument("--mesh", default=None, metavar="DATA,FSDP,MODEL",
+                        help="shard eval over a device mesh, e.g. 8,1,1 "
+                        "(-1 = all remaining devices): volumes/masks split "
+                        "over the data/fsdp axes.  Default: single device")
     args = parser.parse_args(argv)
 
     import flax.linen as nn
@@ -86,7 +92,14 @@ def main(argv=None):
 
         dataset = CTSegDataset(args.data_folder, args.mask_folder)
 
-    engine = ZeroShotSegmenter(model, params)
+    mesh = None
+    if args.mesh:
+        from vit_exp_tpu.cli.run_train import mesh_config_from
+        from vit_exp_tpu.core.mesh import create_mesh
+
+        mesh = create_mesh(mesh_config_from(config, args.mesh))
+    engine = ZeroShotSegmenter(model, params, batch_size=args.batch_size,
+                               mesh=mesh)
     res = engine.infer(dataset, results_folder=args.results_folder)
     print(json.dumps(res))
 

@@ -254,9 +254,16 @@ class ZeroShotClassifier:
 class ZeroShotSegmenter:
     """Closed-set seg dice runner (CTClipInferenceSeg, zero_shot.py:908-1101)."""
 
-    def __init__(self, model: CTCLIP, params, *, batch_size: int = 1):
+    def __init__(self, model: CTCLIP, params, *, batch_size: int = 1,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh — volumes/masks shard over its
+        ('data','fsdp') axes exactly like the classifier engine (per-chip
+        batch = batch_size)."""
         self.model = model
         self.params = params
+        self.mesh = mesh
+        if mesh is not None:
+            batch_size *= mesh.shape.get("data", 1) * mesh.shape.get("fsdp", 1)
         self.batch_size = batch_size
 
         @jax.jit
@@ -269,10 +276,20 @@ class ZeroShotSegmenter:
 
         self._dice_fn = _dice
 
+    def _shard(self, v: jnp.ndarray) -> jnp.ndarray:
+        if self.mesh is None:
+            return v
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            v, NamedSharding(self.mesh,
+                             P(("data", "fsdp"), *([None] * (v.ndim - 1)))))
+
     def dice_batch(self, volumes: np.ndarray, masks: np.ndarray) -> np.ndarray:
         """(B, 1, D, H, W), (B, C, D, H, W) → (B, C) per-sample dice."""
         return np.asarray(self._dice_fn(
-            self.params, jnp.asarray(volumes), jnp.asarray(masks)))
+            self.params, self._shard(jnp.asarray(volumes)),
+            self._shard(jnp.asarray(masks))))
 
     def infer(
         self, dataset, *, results_folder: Optional[str] = None,
@@ -289,8 +306,8 @@ class ZeroShotSegmenter:
 
         def dispatch(padded, k, batch):
             return self._dice_fn(
-                self.params, jnp.asarray(padded["image"]),
-                jnp.asarray(padded["seg_mask"])), k
+                self.params, self._shard(jnp.asarray(padded["image"])),
+                self._shard(jnp.asarray(padded["seg_mask"]))), k
 
         for dev, k in _one_deep_map(dataset, n, self.batch_size, dispatch,
                                     num_workers=num_workers):
