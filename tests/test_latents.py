@@ -85,3 +85,24 @@ def test_retrieval_identity_corpus():
     r = report_to_volume(lat, lat, k=1)
     np.testing.assert_array_equal(r["indices"][:, 0], np.arange(10))
     assert r["recall_at_k"] == 1.0
+
+
+def test_dump_latents_mesh_matches_single_device(engine_and_ds, tmp_path):
+    """Mesh-sharded encoding produces the same latents npz."""
+    from vit_exp_tpu.core.mesh import MeshConfig, create_mesh
+    from vit_exp_tpu.eval.latents import dump_latents
+    from vit_exp_tpu.eval.zero_shot import ZeroShotClassifier
+
+    engine, ds = engine_and_ds
+    single = dump_latents(engine, ds, str(tmp_path / "a"))
+    sharded_engine = ZeroShotClassifier(
+        engine.model, engine.params, engine.tokenizer,
+        pathologies=engine.pathologies, max_text_len=engine.max_text_len,
+        batch_size=1, mesh=create_mesh(MeshConfig()))
+    assert sharded_engine.batch_size == 8
+    sharded = dump_latents(sharded_engine, ds, str(tmp_path / "b"))
+    np.testing.assert_allclose(sharded["image_latents"],
+                               single["image_latents"], atol=1e-5)
+    np.testing.assert_allclose(sharded["text_latents"],
+                               single["text_latents"], atol=1e-5)
+    assert sharded["accessions"] == single["accessions"]

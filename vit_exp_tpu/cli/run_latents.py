@@ -29,6 +29,12 @@ def main(argv=None):
     parser.add_argument("--retrieval", default="both",
                         choices=["none", "volume", "report", "both"])
     parser.add_argument("--topk", type=int, default=5)
+    parser.add_argument("--batch_size", type=int, default=4,
+                        help="per-chip volumes per encode dispatch")
+    parser.add_argument("--mesh", default=None, metavar="DATA,FSDP,MODEL",
+                        help="shard encoding over a device mesh, e.g. "
+                        "8,1,1 (-1 = all remaining devices).  Default: "
+                        "single device")
     args = parser.parse_args(argv)
 
     import flax.linen as nn
@@ -92,7 +98,14 @@ def main(argv=None):
             tokenizer=tokenizer,
         )
 
-    engine = ZeroShotClassifier(model, params, tokenizer)
+    mesh = None
+    if args.mesh:
+        from vit_exp_tpu.cli.run_train import mesh_config_from
+        from vit_exp_tpu.core.mesh import create_mesh
+
+        mesh = create_mesh(mesh_config_from(config, args.mesh))
+    engine = ZeroShotClassifier(model, params, tokenizer,
+                                batch_size=args.batch_size, mesh=mesh)
     out = dump_latents(engine, dataset, args.results_folder)
     summary = {"n": int(out["image_latents"].shape[0])}
     if args.retrieval in ("volume", "both"):

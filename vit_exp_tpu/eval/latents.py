@@ -66,7 +66,8 @@ def dump_latents(
             engine.params, jnp.asarray(toks["input_ids"]),
             jnp.asarray(toks["attention_mask"]),
         )
-        img = img_fn(engine.params, jnp.asarray(padded["image"]))
+        img = img_fn(engine.params,
+                     engine._shard(jnp.asarray(padded["image"])))
         accs = list(batch.get(
             "accession", [f"sample_{seen[0] + j}" for j in range(k)]))
         seen[0] += k
@@ -154,7 +155,8 @@ def dump_encodings(engine, dataset, out_folder: str, *, limit=None,
     seen = [0]
 
     def dispatch(padded, k, batch):
-        tokens = encode(engine.params, jnp.asarray(padded["image"]))
+        tokens = encode(engine.params,
+                        engine._shard(jnp.asarray(padded["image"])))
         accs = list(batch.get(
             "accession", [f"sample_{seen[0] + j}" for j in range(k)]))[:k]
         seen[0] += k

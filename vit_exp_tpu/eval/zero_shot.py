@@ -181,22 +181,25 @@ class ZeroShotClassifier:
         )
         return self._cached_text
 
+    def _shard(self, v: jnp.ndarray) -> jnp.ndarray:
+        """Shard a leading-batch-dim array over the mesh's data axes
+        (identity without a mesh) — shared by latents/encodings tooling."""
+        if self.mesh is None:
+            return v
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            v, NamedSharding(self.mesh,
+                             P(("data", "fsdp"), *([None] * (v.ndim - 1)))))
+
     def dispatch_batch(self, volumes: np.ndarray) -> jnp.ndarray:
         """Non-blocking predict: dispatches the jitted program and returns
         the device array (read it with np.asarray once the NEXT batch is in
         flight — the one-deep pipeline in infer())."""
         if self._cached_text is None:
             self.prepare()
-        v = jnp.asarray(volumes)
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            v = jax.device_put(
-                v,
-                NamedSharding(self.mesh,
-                              P(("data", "fsdp"), *([None] * (v.ndim - 1)))),
-            )
-        return self._probs_fn(self.params, v, self._cached_text)
+        return self._probs_fn(self.params, self._shard(jnp.asarray(volumes)),
+                              self._cached_text)
 
     def predict_batch(self, volumes: np.ndarray) -> np.ndarray:
         """(B, 1, D, H, W) → (B, n_pathologies) P(present)."""
