@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# CLI mains enable the persistent compile cache; in-process CLI tests must
+# not leave home-directory cache writes (min_compile_time 0) enabled for
+# the rest of the suite — the cache test deletes this var locally.
+os.environ.setdefault("VIT_EXP_NO_COMPILE_CACHE", "1")
 
 import jax  # noqa: E402
 

@@ -43,6 +43,7 @@ def test_compile_cache_populates_and_respects_env(tmp_path, monkeypatch):
     from vit_exp_tpu.core.compile_cache import enable_compilation_cache
 
     prev = jax.config.jax_compilation_cache_dir
+    monkeypatch.delenv("VIT_EXP_NO_COMPILE_CACHE", raising=False)
     try:
         d = str(tmp_path / "xla")
         assert enable_compilation_cache(d) == d

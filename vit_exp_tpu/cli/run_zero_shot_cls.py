@@ -124,6 +124,13 @@ def main(argv=None):
             tokenizer=tokenizer,
         )
 
+    mesh = None
+    if args.mesh:
+        from vit_exp_tpu.cli.run_train import mesh_config_from
+        from vit_exp_tpu.core.mesh import create_mesh
+
+        mesh = create_mesh(mesh_config_from(config, args.mesh))
+
     model_paths = args.model_path or [None]
     for path in model_paths:
         if path is None:
@@ -146,12 +153,6 @@ def main(argv=None):
                                  torch_ckpt=args.torch_ckpt,
                                  bert_cfg=bert_cfg)
             tag = os.path.basename(path)
-        mesh = None
-        if args.mesh:
-            from vit_exp_tpu.cli.run_train import mesh_config_from
-            from vit_exp_tpu.core.mesh import create_mesh
-
-            mesh = create_mesh(mesh_config_from(config, args.mesh))
         engine = ZeroShotClassifier(
             model, params, tokenizer, batch_size=args.batch_size, mesh=mesh
         )

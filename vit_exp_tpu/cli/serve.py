@@ -62,6 +62,11 @@ def _decode_volume(payload, expect_shape, data_root=None):
     arr = np.asarray(arr, np.float32)
     if arr.ndim == 3:
         arr = arr[None]
+    # strict (C, D, H, W): mixed ranks/channels must never reach the
+    # micro-batcher, where one bad volume would poison a whole batch
+    if arr.ndim != 4 or arr.shape[0] != 1:
+        raise ValueError(
+            f"volume shape {arr.shape} != expected (1, D, H, W)")
     if expect_shape and tuple(arr.shape[-3:]) != tuple(expect_shape):
         raise ValueError(
             f"volume shape {arr.shape} != expected {expect_shape}")
@@ -143,13 +148,15 @@ class MicroBatcher:
             items = self._collect()
             if items is None:
                 return
-            vols = np.stack([v for v, _, _ in items])
             k = len(items)
-            lo = 2 if not self.pad_all else 1
-            if lo <= k < self.max_batch:  # pad: bounded set of program shapes
-                vols = np.concatenate(
-                    [vols, np.repeat(vols[-1:], self.max_batch - k, axis=0)])
-            try:
+            try:  # batch assembly inside: a bad volume must never kill
+                # the dispatcher thread (waiters would hang forever)
+                vols = np.stack([v for v, _, _ in items])
+                lo = 2 if not self.pad_all else 1
+                if lo <= k < self.max_batch:  # bounded set of program shapes
+                    vols = np.concatenate(
+                        [vols,
+                         np.repeat(vols[-1:], self.max_batch - k, axis=0)])
                 with self.lock:
                     probs = self.engine.predict_batch(vols)[:k]
                 self.stats["dispatches"] += 1
@@ -339,13 +346,13 @@ def main(argv=None):
     def latent_fn(arr):
         return np.asarray(_latent(jnp.asarray(arr[None])))[0]
 
-    if args.warmup:  # compile every program shape before accepting traffic
+    if args.warmup:  # compile exactly the shapes the batcher dispatches
         t0 = time.perf_counter()
         dummy = np.zeros((1, a.channels) + expect_shape, np.float32)
-        if mesh is None:
-            engine.predict_batch(dummy)  # batch-1 (lone requests)
-        if args.max_batch > 1:           # batch-max (coalesced requests)
-            engine.predict_batch(np.repeat(dummy, args.max_batch, axis=0))
+        shapes = ({args.max_batch} if mesh is not None  # pad_all: max only
+                  else {1, args.max_batch})
+        for b in sorted(shapes):
+            engine.predict_batch(np.repeat(dummy, b, axis=0))
         latent_fn(dummy[0])
         print(f"warmup compile {time.perf_counter() - t0:.1f}s", flush=True)
 

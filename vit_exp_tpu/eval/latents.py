@@ -49,7 +49,8 @@ def dump_latents(
     load/compute/read pipelining."""
     import jax.numpy as jnp
 
-    from vit_exp_tpu.eval.zero_shot import _one_deep_map
+    from vit_exp_tpu.eval.zero_shot import (_one_deep_map,
+                                            shard_batch)
 
     os.makedirs(out_folder, exist_ok=True)
     n = min(len(dataset), limit) if limit else len(dataset)
@@ -67,7 +68,7 @@ def dump_latents(
             jnp.asarray(toks["attention_mask"]),
         )
         img = img_fn(engine.params,
-                     engine._shard(jnp.asarray(padded["image"])))
+                     shard_batch(engine.mesh, jnp.asarray(padded["image"])))
         accs = list(batch.get(
             "accession", [f"sample_{seen[0] + j}" for j in range(k)]))
         seen[0] += k
@@ -138,7 +139,8 @@ def dump_encodings(engine, dataset, out_folder: str, *, limit=None,
     import jax
     import jax.numpy as jnp
 
-    from vit_exp_tpu.eval.zero_shot import _one_deep_map
+    from vit_exp_tpu.eval.zero_shot import (_one_deep_map,
+                                            shard_batch)
     from vit_exp_tpu.models.ctclip import CTCLIP
 
     model = engine.model
@@ -156,7 +158,8 @@ def dump_encodings(engine, dataset, out_folder: str, *, limit=None,
 
     def dispatch(padded, k, batch):
         tokens = encode(engine.params,
-                        engine._shard(jnp.asarray(padded["image"])))
+                        shard_batch(engine.mesh,
+                                    jnp.asarray(padded["image"])))
         accs = list(batch.get(
             "accession", [f"sample_{seen[0] + j}" for j in range(k)]))[:k]
         seen[0] += k

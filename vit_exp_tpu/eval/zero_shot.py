@@ -103,6 +103,18 @@ def _one_deep_map(dataset, n: int, batch_size: int, dispatch, *,
         yield pending
 
 
+def shard_batch(mesh, v: jnp.ndarray) -> jnp.ndarray:
+    """Shard a leading-batch-dim array over a mesh's (data, fsdp) axes;
+    identity when mesh is None.  Shared by both engines and the latents
+    tooling so the partition spec lives in exactly one place."""
+    if mesh is None:
+        return v
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.device_put(
+        v, NamedSharding(mesh, P(("data", "fsdp"), *([None] * (v.ndim - 1)))))
+
+
 def _pad_tail(batch: Dict, batch_size: int, key: str):
     """Pad every leading-batch-dim array field to batch_size by repeating
     the last item; returns (padded_batch, true_length)."""
@@ -182,15 +194,7 @@ class ZeroShotClassifier:
         return self._cached_text
 
     def _shard(self, v: jnp.ndarray) -> jnp.ndarray:
-        """Shard a leading-batch-dim array over the mesh's data axes
-        (identity without a mesh) — shared by latents/encodings tooling."""
-        if self.mesh is None:
-            return v
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        return jax.device_put(
-            v, NamedSharding(self.mesh,
-                             P(("data", "fsdp"), *([None] * (v.ndim - 1)))))
+        return shard_batch(self.mesh, v)
 
     def dispatch_batch(self, volumes: np.ndarray) -> jnp.ndarray:
         """Non-blocking predict: dispatches the jitted program and returns
@@ -280,13 +284,7 @@ class ZeroShotSegmenter:
         self._dice_fn = _dice
 
     def _shard(self, v: jnp.ndarray) -> jnp.ndarray:
-        if self.mesh is None:
-            return v
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        return jax.device_put(
-            v, NamedSharding(self.mesh,
-                             P(("data", "fsdp"), *([None] * (v.ndim - 1)))))
+        return shard_batch(self.mesh, v)
 
     def dice_batch(self, volumes: np.ndarray, masks: np.ndarray) -> np.ndarray:
         """(B, 1, D, H, W), (B, C, D, H, W) → (B, C) per-sample dice."""
