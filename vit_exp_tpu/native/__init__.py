@@ -57,10 +57,16 @@ def _build() -> Optional[str]:
             with open(_HASH_PATH) as f:
                 if f.read().strip() == want:
                     return None
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
-               _SRC, "-o", _LIB_PATH + ".tmp"]
-        proc = subprocess.run(cmd, capture_output=True, text=True,
-                              timeout=120)
+        base = ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
+                _SRC, "-o", _LIB_PATH + ".tmp"]
+        # -march=native vectorizes the dtype-convert loops for the host the
+        # .so is (always) built on; retried without in case the toolchain
+        # doesn't support it for this target.
+        proc = subprocess.run(base + ["-march=native"], capture_output=True,
+                              text=True, timeout=120)
+        if proc.returncode != 0:
+            proc = subprocess.run(base, capture_output=True, text=True,
+                                  timeout=120)
         if proc.returncode != 0:
             return proc.stderr[:2000]
         os.replace(_LIB_PATH + ".tmp", _LIB_PATH)

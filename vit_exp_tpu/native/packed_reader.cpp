@@ -40,30 +40,6 @@ int pread_full(int fd, unsigned char* dst, long long nbytes, long long off) {
   return 0;
 }
 
-inline float load_as_f32(const unsigned char* p, int dtype_code,
-                         long long i) {
-  switch (dtype_code) {
-    case 0: {
-      float v;
-      std::memcpy(&v, p + 4 * i, 4);
-      return v;
-    }
-    case 1: {
-      _Float16 h;
-      std::memcpy(&h, p + 2 * i, 2);
-      return (float)h;
-    }
-    case 2: {
-      int16_t v;
-      std::memcpy(&v, p + 2 * i, 2);
-      return (float)v;
-    }
-    default: {
-      return (float)p[i];
-    }
-  }
-}
-
 inline long long dtype_size(int dtype_code) {
   switch (dtype_code) {
     case 0: return 4;
@@ -73,14 +49,41 @@ inline long long dtype_size(int dtype_code) {
   }
 }
 
+// Per-dtype loops over typed pointers so the compiler auto-vectorizes the
+// widen+fma; a generic per-element dtype switch defeats vectorization
+// (measured 0.7 GB/s vs vectorized on one core).
+template <typename T>
+void convert_typed(const T* __restrict__ s, long long lo, long long hi,
+                   float* __restrict__ dst, float scale, float shift) {
+  for (long long i = lo; i < hi; ++i) {
+    dst[i] = (float)s[i] * scale + shift;
+  }
+}
+
 void convert_range(const unsigned char* src, int dtype_code, long long lo,
                    long long hi, float* dst, float scale, float shift) {
   if (dtype_code == 0 && scale == 1.0f && shift == 0.0f) {
     std::memcpy(dst + lo, src + 4 * lo, (size_t)(hi - lo) * 4);
     return;
   }
-  for (long long i = lo; i < hi; ++i) {
-    dst[i] = load_as_f32(src, dtype_code, i) * scale + shift;
+  // Records are 64-byte aligned (packed.py ALIGN) and scratch buffers are
+  // malloc'd, so the typed-pointer reinterpret is alignment-safe.
+  switch (dtype_code) {
+    case 0:
+      convert_typed(reinterpret_cast<const float*>(src), lo, hi, dst,
+                    scale, shift);
+      break;
+    case 1:
+      convert_typed(reinterpret_cast<const _Float16*>(src), lo, hi, dst,
+                    scale, shift);
+      break;
+    case 2:
+      convert_typed(reinterpret_cast<const int16_t*>(src), lo, hi, dst,
+                    scale, shift);
+      break;
+    default:
+      convert_typed(src, lo, hi, dst, scale, shift);
+      break;
   }
 }
 
