@@ -108,6 +108,7 @@ def main(argv=None):
     counter = {"left": n}
     lock = threading.Lock()
     lat = []
+    failures = []
 
     def client():
         while True:
@@ -116,7 +117,12 @@ def main(argv=None):
                     return
                 counter["left"] -= 1
             t0 = time.perf_counter()
-            post()
+            try:
+                post()
+            except Exception as e:  # noqa: BLE001 — tallied, not fatal
+                with lock:
+                    failures.append(str(e))
+                continue
             with lock:
                 lat.append(time.perf_counter() - t0)
 
@@ -131,16 +137,22 @@ def main(argv=None):
 
     stats = {k: srv.batcher.stats[k] - base_stats.get(k, 0)
              for k in ("dispatches", "volumes")}
+    if not lat:
+        raise SystemExit(f"all {n} requests failed; first: {failures[0]}")
     lat.sort()
     print(json.dumps({
-        "clients": args.clients, "requests": n, "max_batch": args.max_batch,
-        "vol_per_s": round(n / dt, 3),
+        "clients": args.clients, "requests": n, "completed": len(lat),
+        "failed": len(failures), "max_batch": args.max_batch,
+        "vol_per_s": round(len(lat) / dt, 3),
         "p50_ms": round(lat[len(lat) // 2] * 1e3, 1),
-        "p95_ms": round(lat[int(len(lat) * 0.95)] * 1e3, 1),
+        "p95_ms": round(lat[min(int(len(lat) * 0.95), len(lat) - 1)] * 1e3,
+                        1),
         "dispatches": stats["dispatches"],
         "mean_batch": round(stats["volumes"] / max(stats["dispatches"], 1),
                             2),
     }))
+    if failures:
+        print(f"first failure: {failures[0]}", flush=True)
     srv.shutdown()
 
 

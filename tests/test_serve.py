@@ -211,6 +211,46 @@ def test_micro_batcher_coalesces_pads_and_propagates_errors():
     b2.close()
 
 
+def test_micro_batcher_close_rejects_new_requests():
+    """classify() after close() fails fast instead of hanging forever on a
+    queue nobody drains (the dispatcher thread has exited)."""
+    from vit_exp_tpu.cli.serve import MicroBatcher
+
+    class FakeEngine:
+        def predict_batch(self, vols):
+            return vols[:, 0, 0, 0, :2]
+
+    b = MicroBatcher(FakeEngine(), max_batch=4, window_ms=1.0)
+    b.close()
+    with pytest.raises(RuntimeError, match="shutting down"):
+        b.classify(np.zeros((1, 4, 4, 4), np.float32))
+    # a request that raced past the closed check is drained with an error
+    b2 = MicroBatcher(FakeEngine(), max_batch=4, window_ms=1.0)
+    b2._closed = True  # simulate close() winning the race mid-classify
+    b2._q.put(None)
+    b2._thread.join(timeout=5)
+    done = threading.Event()
+    slot = {}
+    b2._q.put((np.zeros((1, 4, 4, 4), np.float32), slot, done))
+    b2._drain_rejected()
+    assert done.is_set() and "err" in slot
+
+
+def test_decode_volume_channels():
+    """_decode_volume validates against the config's channel count, not a
+    hard-coded 1 (a channels=2 arch must be servable)."""
+    from vit_exp_tpu.cli.serve import _decode_volume
+
+    vol2 = np.zeros((2, 4, 4, 4), np.float32)
+    out = _decode_volume({"volume": vol2.tolist()}, (4, 4, 4), channels=2)
+    assert out.shape == (2, 4, 4, 4)
+    with pytest.raises(ValueError, match="expected \\(2, D, H, W\\)"):
+        _decode_volume({"volume": np.zeros((4, 4, 4)).tolist()}, (4, 4, 4),
+                       channels=2)
+    with pytest.raises(ValueError, match="expected \\(1, D, H, W\\)"):
+        _decode_volume({"volume": vol2.tolist()}, (4, 4, 4), channels=1)
+
+
 def test_micro_batcher_pad_all_single_request():
     """pad_all=True (mesh serving): even a lone request dispatches at the
     full max_batch shape, keeping the leading dim divisible by the mesh's

@@ -285,6 +285,15 @@ def test_run_train_cli_mesh(tmp_path):
     config_plain.extra.pop("mesh")
     assert mesh_config_from(config_plain) is None
 
+    # the eval/serve CLIs' helper: yaml section alone yields a real Mesh
+    # (no --mesh flag needed), nothing configured yields None
+    from vit_exp_tpu.core.mesh import mesh_from_cli
+
+    mesh = mesh_from_cli(config)
+    assert mesh is not None and dict(mesh.shape) == {
+        "data": 4, "fsdp": 2, "model": 1}
+    assert mesh_from_cli(config_plain) is None
+
     main(["--config", str(cfg_path), "--mesh", "2,2,2",
           "--synthetic", "8", "--steps", "2"])
     lines = [json.loads(l) for l in

@@ -54,8 +54,10 @@ def test_compile_cache_populates_and_respects_env(tmp_path, monkeypatch):
         assert enable_compilation_cache() is None
         monkeypatch.delenv("VIT_EXP_NO_COMPILE_CACHE")
 
-        # upstream env var wins untouched (JAX manages it itself)
+        # upstream env var wins and is applied to jax.config (the var is
+        # only read by jax itself at import time)
         monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/elsewhere")
         assert enable_compilation_cache() == "/elsewhere"
+        assert jax.config.jax_compilation_cache_dir == "/elsewhere"
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)

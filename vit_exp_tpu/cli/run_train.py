@@ -96,25 +96,10 @@ def build_datasets(config, tokenizer, synthetic: int = 0):
 
 
 def mesh_config_from(config, mesh_arg=None):
-    """MeshConfig from the yaml `mesh:` section and/or --mesh DATA,FSDP,MODEL.
+    """Moved to core/mesh.py (shared with the eval/serve CLIs)."""
+    from vit_exp_tpu.core.mesh import mesh_config_from as _impl
 
-    The yaml section (ours — the reference topology lives in `accelerate
-    launch` flags instead) accepts `{data, fsdp, model, seq_axis}`; the CLI
-    flag overrides the axis sizes.  Returns None (trainer default: pure DP
-    over all devices) when neither is given.
-    """
-    from vit_exp_tpu.core.mesh import MeshConfig
-
-    spec = dict(config.extra.get("mesh") or {})
-    if mesh_arg:
-        d, f, m = (int(x) for x in mesh_arg.split(","))
-        spec.update(data=d, fsdp=f, model=m)
-    if not spec:
-        return None
-    return MeshConfig(
-        data=spec.get("data", -1), fsdp=spec.get("fsdp", 1),
-        model=spec.get("model", 1), seq_axis=spec.get("seq_axis"),
-    )
+    return _impl(config, mesh_arg)
 
 
 def main(argv=None):

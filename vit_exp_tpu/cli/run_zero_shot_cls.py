@@ -124,12 +124,9 @@ def main(argv=None):
             tokenizer=tokenizer,
         )
 
-    mesh = None
-    if args.mesh:
-        from vit_exp_tpu.cli.run_train import mesh_config_from
-        from vit_exp_tpu.core.mesh import create_mesh
+    from vit_exp_tpu.core.mesh import mesh_from_cli
 
-        mesh = create_mesh(mesh_config_from(config, args.mesh))
+    mesh = mesh_from_cli(config, args.mesh)
 
     model_paths = args.model_path or [None]
     for path in model_paths:

@@ -92,12 +92,9 @@ def main(argv=None):
 
         dataset = CTSegDataset(args.data_folder, args.mask_folder)
 
-    mesh = None
-    if args.mesh:
-        from vit_exp_tpu.cli.run_train import mesh_config_from
-        from vit_exp_tpu.core.mesh import create_mesh
+    from vit_exp_tpu.core.mesh import mesh_from_cli
 
-        mesh = create_mesh(mesh_config_from(config, args.mesh))
+    mesh = mesh_from_cli(config, args.mesh)
     engine = ZeroShotSegmenter(model, params, batch_size=args.batch_size,
                                mesh=mesh)
     res = engine.infer(dataset, results_folder=args.results_folder)

@@ -35,7 +35,7 @@ import threading
 import time
 
 
-def _decode_volume(payload, expect_shape, data_root=None):
+def _decode_volume(payload, expect_shape, data_root=None, channels=1):
     import os
 
     import numpy as np
@@ -60,13 +60,13 @@ def _decode_volume(payload, expect_shape, data_root=None):
         else:
             arr = np.load(path, allow_pickle=False)
     arr = np.asarray(arr, np.float32)
-    if arr.ndim == 3:
+    if arr.ndim == 3 and channels == 1:
         arr = arr[None]
     # strict (C, D, H, W): mixed ranks/channels must never reach the
     # micro-batcher, where one bad volume would poison a whole batch
-    if arr.ndim != 4 or arr.shape[0] != 1:
+    if arr.ndim != 4 or arr.shape[0] != channels:
         raise ValueError(
-            f"volume shape {arr.shape} != expected (1, D, H, W)")
+            f"volume shape {arr.shape} != expected ({channels}, D, H, W)")
     if expect_shape and tuple(arr.shape[-3:]) != tuple(expect_shape):
         raise ValueError(
             f"volume shape {arr.shape} != expected {expect_shape}")
@@ -104,6 +104,7 @@ class MicroBatcher:
         self.stats = {"dispatches": 0, "volumes": 0, "max_batch_seen": 0}
         # serializes device dispatches; /embed shares it via the handler
         self.lock = threading.Lock()
+        self._closed = False
         self._q: queue.Queue = queue.Queue()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -111,6 +112,8 @@ class MicroBatcher:
     def classify(self, volume):
         """(C, D, H, W) volume → (n_pathologies,) probs; blocks until the
         dispatcher has run the batch containing this request."""
+        if self._closed:
+            raise RuntimeError("server is shutting down")
         done = threading.Event()
         slot = {}
         self._q.put((volume, slot, done))
@@ -120,8 +123,25 @@ class MicroBatcher:
         return slot["probs"]
 
     def close(self):
+        self._closed = True
         self._q.put(None)
         self._thread.join(timeout=5)
+        self._drain_rejected()  # requests that raced the closed check
+
+    def _drain_rejected(self):
+        """Fail any still-queued requests so their waiters don't hang —
+        classify() calls that passed the closed check before close() set
+        it may enqueue after the dispatcher exited."""
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is None:
+                continue
+            _, slot, done = item
+            slot["err"] = RuntimeError("server is shutting down")
+            done.set()
 
     def _collect(self):
         first = self._q.get()
@@ -147,6 +167,7 @@ class MicroBatcher:
         while True:
             items = self._collect()
             if items is None:
+                self._drain_rejected()
                 return
             k = len(items)
             try:  # batch assembly inside: a bad volume must never kill
@@ -175,7 +196,7 @@ class MicroBatcher:
 def build_server(engine, latent_fn, expect_shape, port: int,
                  host: str = "127.0.0.1", data_root=None,
                  max_batch: int = 4, window_ms: float = 2.0,
-                 pad_all: bool = False):
+                 pad_all: bool = False, channels: int = 1):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     batcher = MicroBatcher(engine, max_batch=max_batch, window_ms=window_ms,
@@ -209,7 +230,8 @@ def build_server(engine, latent_fn, expect_shape, port: int,
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
-                arr = _decode_volume(payload, expect_shape, data_root)
+                arr = _decode_volume(payload, expect_shape, data_root,
+                                     channels)
                 t0 = time.perf_counter()
                 if self.path in ("/classify", "/classify_path"):
                     probs = batcher.classify(arr)
@@ -322,12 +344,10 @@ def main(argv=None):
                        jnp.ones((1, 16), jnp.int32))
         )["params"]
 
-    mesh = None
-    if args.mesh:
-        from vit_exp_tpu.cli.run_train import mesh_config_from
-        from vit_exp_tpu.core.mesh import create_mesh
+    from vit_exp_tpu.core.mesh import mesh_from_cli
 
-        mesh = create_mesh(mesh_config_from(config, args.mesh))
+    mesh = mesh_from_cli(config, args.mesh)
+    if mesh is not None:
         shards = mesh.shape["data"] * mesh.shape["fsdp"]
         if args.max_batch % shards:
             parser.error(f"--max_batch {args.max_batch} must be a multiple "
@@ -360,7 +380,7 @@ def main(argv=None):
                           host=args.host, data_root=args.data_root,
                           max_batch=args.max_batch,
                           window_ms=args.batch_window_ms,
-                          pad_all=mesh is not None)
+                          pad_all=mesh is not None, channels=a.channels)
     print(f"serving on {args.host}:{args.port} "
           f"(volume {expect_shape}, {len(engine.pathologies)} pathologies)",
           flush=True)

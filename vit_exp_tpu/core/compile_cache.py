@@ -10,7 +10,8 @@ in milliseconds instead.
 Called by every CLI main() right after the jax import.  Opt out with
 VIT_EXP_NO_COMPILE_CACHE=1 (e.g. when benchmarking compile time itself);
 JAX_COMPILATION_CACHE_DIR (the upstream env var) overrides the location
-and, when set, JAX enables the cache on its own — we leave it alone.
+(applied via jax.config so it works even if set after jax imported);
+the upstream min-compile-time threshold is then left at its default.
 """
 
 from __future__ import annotations
@@ -27,9 +28,18 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     """
     if os.environ.get("VIT_EXP_NO_COMPILE_CACHE"):
         return None
-    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-        return os.environ["JAX_COMPILATION_CACHE_DIR"]
     import jax
+
+    env_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if env_dir:
+        # jax only reads the env var at import time; set it explicitly so
+        # the cache is live even when the var appeared after jax imported,
+        # but respect the user's threshold settings otherwise.
+        try:
+            jax.config.update("jax_compilation_cache_dir", env_dir)
+        except Exception:  # noqa: BLE001 — caching is best-effort
+            return None
+        return env_dir
 
     if path is None:
         path = os.path.join(

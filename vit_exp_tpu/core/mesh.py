@@ -72,6 +72,35 @@ def create_mesh(
     return Mesh(dev_array, ("data", "fsdp", "model"))
 
 
+def mesh_config_from(config, mesh_arg: Optional[str] = None
+                     ) -> Optional[MeshConfig]:
+    """MeshConfig from the yaml `mesh:` section and/or --mesh DATA,FSDP,MODEL.
+
+    The yaml section (ours — the reference topology lives in `accelerate
+    launch` flags instead) accepts `{data, fsdp, model, seq_axis}`; the CLI
+    flag overrides the axis sizes.  Returns None (single device / trainer
+    default: pure DP over all devices) when neither is given.
+    """
+    spec = dict(config.extra.get("mesh") or {})
+    if mesh_arg:
+        d, f, m = (int(x) for x in mesh_arg.split(","))
+        spec.update(data=d, fsdp=f, model=m)
+    if not spec:
+        return None
+    return MeshConfig(
+        data=spec.get("data", -1), fsdp=spec.get("fsdp", 1),
+        model=spec.get("model", 1), seq_axis=spec.get("seq_axis"),
+    )
+
+
+def mesh_from_cli(config, mesh_arg: Optional[str] = None) -> Optional[Mesh]:
+    """The eval/serve CLIs' mesh: yaml `mesh:` and/or --mesh, else None
+    (single-device dispatch).  Unlike the trainer there is no pure-DP
+    default — unsharded serving skips the device_put round trip."""
+    mc = mesh_config_from(config, mesh_arg)
+    return None if mc is None else create_mesh(mc)
+
+
 def logical_rules(config: MeshConfig | None = None) -> tuple[tuple[str, Any], ...]:
     """Logical-axis → mesh-axis rules for flax logical partitioning.
 

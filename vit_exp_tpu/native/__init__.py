@@ -40,8 +40,29 @@ _build_error: Optional[str] = None
 
 
 def _src_hash() -> str:
+    """Staleness key: source bytes + build flags + host microarch.
+
+    -march=native binaries are host-specific; a repo copied between
+    machines (rsync, shared NFS checkout) must rebuild rather than load a
+    foreign-ISA .so mid-ingest (SIGILL inside a GIL-released call)."""
+    import platform
+
+    h = hashlib.sha256()
     with open(_SRC, "rb") as f:
-        return hashlib.sha256(f.read()).hexdigest()
+        h.update(f.read())
+    h.update(b"|march=native|")
+    h.update(platform.machine().encode())
+    try:  # the compiler's own view of -march=native (model/feature flags)
+        probe = subprocess.run(
+            ["g++", "-march=native", "-E", "-v", "-", "-o", os.devnull],
+            input="", capture_output=True, text=True, timeout=30)
+        for line in probe.stderr.splitlines():
+            if "cc1plus" in line and "-march=" in line:
+                h.update(line.encode())
+                break
+    except Exception:  # no g++ yet — _build reports it properly
+        pass
+    return h.hexdigest()
 
 
 def _build() -> Optional[str]:
