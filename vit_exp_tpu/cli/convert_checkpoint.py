@@ -59,7 +59,7 @@ def main(argv=None):
     tx = build_optimizer(config.trainer)
     state = create_train_state(params, tx)
     state.step = jnp.asarray(step, jnp.int32)
-    CheckpointManager(args.out).save(step, state)
+    CheckpointManager(args.out).save(step, state, wait=True)
     print(f"wrote orbax checkpoint step {step} → {args.out}/ckpt_{step}")
 
 

@@ -39,17 +39,30 @@ class CheckpointManager:
         steps = self.all_steps()
         return steps[-1] if steps else None
 
-    def save(self, step: int, state: Any):
+    def save(self, step: int, state: Any, *, wait: bool = False):
+        """Async by default: orbax copies the tree to host before returning
+        (so donated device buffers may be reused immediately) and writes in
+        the background, overlapping disk IO with the next training steps.
+        `wait=True` blocks until the write is durable — use for the final /
+        preemption save."""
+        self._ckptr.wait_until_finished()  # one write in flight at a time
         self._ckptr.save(self._path(step), state, force=True)
-        self._ckptr.wait_until_finished()
+        if wait:
+            self._ckptr.wait_until_finished()
         if self.max_to_keep:
+            # prunes only older completed steps; the in-flight dir is in the
+            # kept tail by construction
             for s in self.all_steps()[: -self.max_to_keep]:
                 import shutil
 
                 shutil.rmtree(self._path(s), ignore_errors=True)
 
+    def wait_until_finished(self):
+        self._ckptr.wait_until_finished()
+
     def restore(self, step: int, target: Any) -> Any:
         """target: a pytree of like-shaped arrays (e.g. jax.eval_shape out)."""
+        self._ckptr.wait_until_finished()
         return self._ckptr.restore(self._path(step), target)
 
     def load_model_only(self, step: int, params_target: Any) -> Any:

@@ -223,7 +223,7 @@ class CTClipTrainer:
                     jax.profiler.stop_trace()
                 flush_pending()
                 if is_main_process():
-                    self.ckpt.save(self.step, self.state)
+                    self.ckpt.save(self.step, self.state, wait=True)
                 print(f"preempted at step {self.step}: state saved, exiting",
                       flush=True)
                 return
@@ -271,5 +271,5 @@ class CTClipTrainer:
         if profile_dir:
             jax.profiler.stop_trace()
         if is_main_process():
-            self.ckpt.save(self.step, self.state)
+            self.ckpt.save(self.step, self.state, wait=True)
         print("Training complete")
