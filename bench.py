@@ -298,8 +298,43 @@ def main():
     }))
 
 
+def _require_backend(train: bool, timeout_s: float = 600.0):
+    """Fail fast with a valid JSON line if backend init hangs.
+
+    jax.devices() blocks forever when the axon TPU tunnel is down (observed
+    2026-08-17/18 outage); the driver still needs its ONE JSON line rather
+    than a wedged process, so probe initialization on a watchdog thread and
+    report value 0 + an error field on timeout."""
+    import os
+    import threading
+
+    result = {}
+
+    def probe():
+        import jax
+
+        result["backend"] = jax.default_backend()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "backend" not in result:
+        print(json.dumps({
+            "metric": ("contrastive_train_steps_per_sec_per_chip_bs4"
+                       if train else "zero_shot_volumes_per_sec_per_chip"),
+            "value": 0.0,
+            "unit": "steps/sec/chip" if train else "volumes/sec/chip",
+            "vs_baseline": 0.0,
+            "error": f"jax backend init timed out after {timeout_s:.0f}s "
+                     "(TPU tunnel down?)",
+        }), flush=True)
+        os._exit(0)  # the probe thread is wedged; don't wait on it
+
+
 if __name__ == "__main__":
-    if "--train" in sys.argv:
+    train_mode = "--train" in sys.argv
+    _require_backend(train_mode)
+    if train_mode:
         bench_train()
     else:
         main()
