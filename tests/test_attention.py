@@ -2,6 +2,7 @@
 
 import math
 
+import pytest
 import numpy as np
 import torch
 import torch.nn.functional as F
@@ -544,6 +545,43 @@ def test_cosine_attention_packed_fallback_on_odd_head_dim():
         quantized=True,
     )
     np.testing.assert_allclose(_unpack(got, h), np.asarray(ref), atol=1e-6)
+
+
+def test_cosine_attention_packed_fallback_combined_kv_odd_dim():
+    """Combined kv + a head dim violating the 128-lane granule: the
+    fallback must slice the v HALF of kv (by shape), not
+    v_group_offset·128 — which truncates to 0 for heads·d < 128 and
+    silently attended with the k half as values (review regression)."""
+    from vit_exp_tpu.ops.attention import cosine_attention_packed
+
+    ins = _make_inputs(b=1, h=2, n=16, d=20, seed=31)
+    b, h, n, d = ins["q"].shape
+    kw = dict(
+        null_k=jnp.asarray(ins["null_k"]), null_v=jnp.asarray(ins["null_v"]),
+        q_scale=jnp.asarray(ins["q_scale"]),
+        k_scale=jnp.asarray(ins["k_scale"]), quantized=True,
+    )
+    kp, vp = _pack(ins["k"]), _pack(ins["v"])
+    ref = cosine_attention_packed(_pack(ins["q"]), kp, vp, h, **kw)
+    kv = jnp.concatenate([kp, vp], axis=-1)
+    got = cosine_attention_packed(
+        _pack(ins["q"]), kv[..., :h * d], kv, h,
+        v_group_offset=h * d // 128, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+    with pytest.raises(ValueError, match="combined kv width"):
+        cosine_attention_packed(
+            _pack(ins["q"]), kv[..., :h * d], kv[..., :h * d + 8], h, **kw)
+
+
+def test_quantized_flag_never_silently_ignored():
+    """quantized=True off the int8 serving kernel path raises instead of
+    silently running fp (misreports numbers AND throughput)."""
+    ins = _make_inputs(b=1, h=2, n=16, d=16, seed=37)
+    args = (jnp.asarray(ins["q"]), jnp.asarray(ins["k"]),
+            jnp.asarray(ins["v"]))
+    for kw in ({"impl": "xla"}, {"impl": "pallas", "static_max": False}):
+        with pytest.raises(ValueError, match="only implemented"):
+            cosine_attention(*args, quantized=True, **kw)
 
 
 def test_packed_int8_module_param_tree_matches_bf16():

@@ -133,9 +133,18 @@ def cosine_attention_packed(
         def unpack(t):
             return t.reshape(b, -1, heads, d).transpose(0, 2, 1, 3)
 
-        off = v_group_offset * 128
+        if v.shape[-1] != hd:
+            # combined kv from the fused projection: the v half is the
+            # tail.  Slice by SHAPE, not v_group_offset·128 — the lane-
+            # group offset truncates when heads·d % 128 != 0 (which is
+            # exactly when hp_supported fails) and would silently read
+            # the k half as values.
+            if v.shape[-1] != 2 * hd:
+                raise ValueError(
+                    f"combined kv width {v.shape[-1]} != 2·heads·d ({2 * hd})")
+            v = v[..., hd:]
         out = cosine_attention(
-            unpack(q), unpack(k), unpack(v[..., off:off + hd]),
+            unpack(q), unpack(k), unpack(v),
             null_k=null_k, null_v=null_v,
             q_scale=q_scale, k_scale=k_scale, scale=scale,
             impl="pallas", static_max=True, quantized=quantized,
@@ -207,6 +216,13 @@ def cosine_attention(
             f"(scale=None → 1/√d); scale={scale} amplifies int8 "
             f"quantization error beyond the validated envelope"
         )
+    if quantized and (impl != "pallas" or not static_max):
+        # the int8 path exists only as the static-max pallas serving
+        # kernel; silently running fp under a quantized=True flag would
+        # misreport both numbers and throughput
+        raise ValueError(
+            f"quantized=True is only implemented for impl='pallas' with "
+            f"static_max=True (got impl={impl!r}, static_max={static_max})")
 
     nk = nv = None
     n_null = 0
@@ -288,8 +304,6 @@ def cosine_attention(
                 nk.astype(jnp.float32),
                 preferred_element_type=jnp.float32,
             ) * scale                                     # (b, h, n, n_null)
-            import jax
-
             lse_n = jax.scipy.special.logsumexp(nl, axis=-1)
             lse_new = jnp.logaddexp(lse, lse_n)
             p_n = jnp.exp(nl - lse_new[..., None])

@@ -415,12 +415,11 @@ def _fwd_kernel_static_int8(q_ref, qe_ref, qn_ref, k_ref, v_ref,
 
 
 def _row_quant(x):
-    """(bh, n, d) → per-row symmetric int8 + (bh, n, 1) f32 scales."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    s = jnp.maximum(amax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127
-                 ).astype(jnp.int8)
-    return q, s
+    """(bh, n, d) → per-row symmetric int8 + (bh, n, 1) f32 scales
+    (geglu_ff._quant_rows is the one definition of the int8 envelope)."""
+    from vit_exp_tpu.ops.geglu_ff import _quant_rows
+
+    return _quant_rows(x)
 
 
 def _flash_fwd_static_int8(q, k, v, nk, nv, bound, scale, kv_len, block_q,
@@ -647,11 +646,8 @@ def flash_attention_serving_hp(
         # per-head per-row q quantization on free 4D views (ONE fused
         # elementwise XLA pass — no transposes); one global k scale
         # (rows are unit-norm × shared per-dim γ after the prologue)
-        q4 = q.reshape(b, nq, heads, d).astype(jnp.float32)
-        amax = jnp.max(jnp.abs(q4), axis=-1, keepdims=True)
-        qs = jnp.maximum(amax, 1e-8) / 127.0
-        qq = jnp.clip(jnp.round(q4 / qs), -127, 127
-                      ).astype(jnp.int8).reshape(b, nq, hd)
+        q8, qs = _row_quant(q.reshape(b, nq, heads, d))
+        qq = q8.reshape(b, nq, hd)
         kamax = jnp.max(jnp.abs(k.astype(jnp.float32)))
         ks = jnp.maximum(kamax, 1e-8) / 127.0
         kq = jnp.clip(jnp.round(k.astype(jnp.float32) / ks), -127, 127
@@ -716,7 +712,9 @@ def flash_attention_serving_hp(
         interpret=interpret,
     )(qq, qe4, qn4, kq, v.astype(jnp.bfloat16), nk, nv,
       jnp.reshape(jnp.asarray(logit_bound, jnp.float32), (1,)))
-    return out.astype(q.dtype if q.dtype != jnp.int8 else jnp.bfloat16)
+    # q is always the pre-quantization fp input (the int8 tensor is the
+    # local qq above), so the output dtype follows it unconditionally
+    return out.astype(q.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -1091,18 +1089,14 @@ _flash_core_static.defvjp(_flash_core_static_fwd, _flash_core_static_bwd)
 def _flash_core_lse(q, k, v, scale, n_real, block_q, block_k, interpret):
     """(out, lse) with BOTH outputs differentiable — the primitive under
     ring attention, whose streaming logsumexp combine needs ∂/∂lse."""
-    bh, _, dp = q.shape
-    z = jnp.zeros((bh, NULL_PAD, dp), k.dtype)
-    out, lse = _flash_fwd(q, k, v, z, z, scale, n_real, block_q, block_k,
-                          interpret, save_lse=True, n_null=0)
+    out, lse = _flash_fwd(q, k, v, None, None, scale, n_real, block_q,
+                          block_k, interpret, save_lse=True, n_null=0)
     return out, lse
 
 
 def _flash_core_lse_fwd(q, k, v, scale, n_real, block_q, block_k, interpret):
-    bh, _, dp = q.shape
-    z = jnp.zeros((bh, NULL_PAD, dp), k.dtype)
-    out, lse = _flash_fwd(q, k, v, z, z, scale, n_real, block_q, block_k,
-                          interpret, save_lse=True, n_null=0)
+    out, lse = _flash_fwd(q, k, v, None, None, scale, n_real, block_q,
+                          block_k, interpret, save_lse=True, n_null=0)
     return (out, lse), (q, k, v, out, lse)
 
 
@@ -1250,6 +1244,11 @@ def flash_attention(
         nk = jnp.zeros((b * h, NULL_PAD, dp), k.dtype)
         nv = jnp.zeros((b * h, NULL_PAD, dp), v.dtype)
 
+    if quantized and logit_bound is None:
+        raise ValueError(
+            "quantized=True requires logit_bound (the int8 kernel is the "
+            "static-max serving forward); pass static_max=True via "
+            "cosine_attention or supply the bound explicitly")
     if logit_bound is not None and quantized:
         # W8A8 serving forward (no VJP) — requires the logit bound
         out = _flash_fwd_static_int8(

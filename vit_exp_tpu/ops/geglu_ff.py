@@ -327,7 +327,11 @@ def quantize_per_channel(w: jnp.ndarray):
 
 
 def _quant_rows(y):
-    """fp32 (m, n) → (int8 rows, per-row scale (m, 1))."""
+    """(..., d) fp → (int8, per-last-axis scale (..., 1) f32): symmetric
+    row quantization (amax/127 with a 1e-8 floor).  CANONICAL int8
+    envelope — fused_proj and flash_attention reuse this so the serving
+    paths that tests/test_int8_parity.py gates share ONE definition."""
+    y = y.astype(jnp.float32)
     amax = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
     s = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)

@@ -79,15 +79,25 @@ def spacing_resample_shape(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("slope", "intercept", "new_shape"))
+@functools.partial(jax.jit, static_argnames=("new_shape",))
+def _preprocess_offline_volume(img_hwd, slope, intercept, new_shape):
+    x = hu_normalize(img_hwd, slope, intercept)
+    x = jnp.transpose(x, (2, 0, 1))  # (D, H, W)
+    return resize_trilinear(x, new_shape)
+
+
 def preprocess_offline_volume(
     img_hwd: jnp.ndarray, *, slope: float, intercept: float,
     new_shape: Tuple[int, int, int],
 ) -> jnp.ndarray:
-    """Offline stage on device: (H, W, D) raw → (D', H', W') normalized."""
-    x = hu_normalize(img_hwd, slope, intercept)
-    x = jnp.transpose(x, (2, 0, 1))  # (D, H, W)
-    return resize_trilinear(x, new_shape)
+    """Offline stage on device: (H, W, D) raw → (D', H', W') normalized.
+
+    slope/intercept are traced scalars (DICOM rescale pairs vary across
+    scanner vendors; baking them in statically would force one 1-2 min
+    remote recompile per distinct pair) — only shapes key the compile."""
+    return _preprocess_offline_volume(
+        img_hwd, jnp.float32(slope), jnp.float32(intercept),
+        tuple(int(s) for s in new_shape))
 
 
 def _center_crop_pad_1d(size: int, target: int) -> Tuple[int, int, int]:
