@@ -92,8 +92,9 @@ def test_maskgit_pipeline_loss_and_sample():
     video = jnp.ones((1, 1, 5, 8, 8))
     ctvit_vars = ctvit.init(jax.random.PRNGKey(0), video,
                             return_encoded_tokens=False, return_recons=True)
-    # token grid (t=3, h=2, w=2) → 12 tokens
-    mg = MaskGit(num_tokens=32, max_seq_len=12, dim=16, depth=1, heads=2,
+    # token grid (t=3, h=2, w=2) → 12 tokens (+4 prime tokens when
+    # make_video chains scenes on a 1-frame prime)
+    mg = MaskGit(num_tokens=32, max_seq_len=16, dim=16, depth=1, heads=2,
                  dim_head=4)
     ids = jnp.ones((1, 6), jnp.int32)
     ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 16))
@@ -121,6 +122,9 @@ def test_maskgit_pipeline_loss_and_sample():
     chained = pipe.make_video(
         jax.random.PRNGKey(6),
         [(ids, jnp.ones_like(ids)), (ids, jnp.ones_like(ids))],
-        token_grid=(3, 2, 2), steps=2, overlap_frames=1,
+        token_grid=(3, 2, 2), steps=2, prime_length=1,
     )
-    assert chained.shape[2] == 5 + 4  # second clip drops 1 overlap frame
+    # reference semantics (:699-720): scenes concatenate WHOLE; the second
+    # clip is conditioned on the first clip's trailing frame via prime
+    # tokens rather than trimmed
+    assert chained.shape[2] == 5 + 5

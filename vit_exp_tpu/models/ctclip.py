@@ -176,23 +176,33 @@ class CTCLIP(nn.Module):
         attention_mask: Optional[jnp.ndarray] = None,
     ):
         """Initialization entry: touches every configured head so linen
-        creates ALL parameters (setup() alone does not materialize params)."""
-        out = self(video, input_ids, attention_mask)
+        creates ALL parameters (setup() alone does not materialize params).
+        Each tower runs ONCE; latents and every head derive from the shared
+        tokens/hidden (param tree identical to routing through __call__ /
+        mlm_logits / ssl_project, at a third of the init compute)."""
         tokens = self.encode_image_tokens(video)
+        hidden = self.encode_text_hidden(input_ids, attention_mask)
+        out = {
+            "text_latents": self.text_latents_from_hidden(hidden),
+            "image_latents": self.image_latents_from_tokens(tokens),
+            "temperature": self.temperature,
+        }
         ca = self.clip_arch
         if ca.use_seg:
             _ = self.seg_head(tokens[:, :1, :1, :1])
         if ca.use_open_seg:
             _ = self.open_seg_head(tokens[:, :1, :1, :1])
-            hidden = self.encode_text_hidden(input_ids, attention_mask)
             _ = self.open_text_head(hidden[:, 0, :])
             if ca.fusion_head is not None:
                 h = ca.open_seg_head.out_dim + ca.open_text_head.out_dim
                 _ = self.fusion_head(jnp.zeros((1, h), video.dtype))
         if ca.use_mlm:
-            _ = self.mlm_logits(input_ids, attention_mask)
+            _ = self.mlm_head(hidden)
         if ca.use_visual_ssl:
-            z = self.ssl_project(video)
+            pooled = jnp.mean(
+                tokens.reshape(tokens.shape[0], -1, tokens.shape[-1]), axis=1
+            )
+            z = self.ssl_projector(pooled.astype(jnp.float32))
             if ca.visual_ssl_type == "simsiam":
                 _ = self.ssl_predict(z)
         return out

@@ -6,11 +6,14 @@ Capability parity with transformer_maskgit/ctvit.py:118-525:
 - encode: per-frame SPATIAL transformer '(b t) (h w) d' then per-position
   TEMPORAL transformer '(b h w) t d' (ctvit.py:282-307);
 - cosine-sim VectorQuantize codebook (ctvit.py:188, models/vq.py);
-- decode: temporal → spatial with ContinuousPositionBias additive bias →
-  to_pixels (ctvit.py:309-351);
-- PEG depthwise 3D conv positional encoding (attention.py:62-90) available
-  as a Transformer option, and ContinuousPositionBias
-  (attention.py:335-382) for decoder spatial attention.
+- encode AND decode spatial transformers take the ContinuousPositionBias
+  additive bias (ctvit.py:293-295, 333-335); to_pixels decode
+  (ctvit.py:309-351);
+- reference attention conventions for the legacy tower: the NAIVE path
+  (ctvit.py:177-187 passes no use_flash_attention) — scale=8
+  (attention.py:105), no self-attn null kv (attention.py:423), causal PEG
+  depthwise 3D conv positional encoding in every block
+  (attention.py:62-90, peg=True/peg_causal=True).
 
 The VQGAN-VAE training losses (recon MSE + GAN hinge/bce + gradient
 penalty; ctvit.py:420-525) live in models/gan.py / train/ctvit_trainer.py.
@@ -90,6 +93,7 @@ class TransformerStack(nn.Module):
     heads: int = 8
     dim_head: int = 32
     scale: Optional[float] = None
+    num_null_kv: int = 2
     attn_impl: str = "xla"
     peg: bool = False
     peg_causal: bool = False
@@ -105,7 +109,8 @@ class TransformerStack(nn.Module):
                 )
             x = x + CosineSelfAttention(
                 dim=self.dim, heads=self.heads, dim_head=self.dim_head,
-                scale=self.scale, attn_impl=self.attn_impl,
+                scale=self.scale, num_null_kv=self.num_null_kv,
+                attn_impl=self.attn_impl,
                 policy=self.policy, name=f"attn{i}",
             )(x, mask=mask, attn_bias=attn_bias)
             x = x + GEGLUFeedForward(dim=self.dim, policy=self.policy,
@@ -125,6 +130,13 @@ class CTViT(nn.Module):
     heads: int = 8
     channels: int = 1
     attn_impl: str = "xla"
+    # reference CTViT transformers are the NAIVE attention path
+    # (ctvit.py:177-187 passes no use_flash_attention): scale=8
+    # (attention.py:105), no self-attn null kv (attention.py:423 omits
+    # num_null_kv → 0), and PEG enabled causal (peg=True, peg_causal=True)
+    attn_scale: Optional[float] = 8.0
+    attn_num_null_kv: int = 0
+    use_peg: bool = True
     policy: Policy = DEFAULT_POLICY
 
     @property
@@ -146,6 +158,8 @@ class CTViT(nn.Module):
         self.rest_norm_out = BiasLayerNorm(policy=self.policy)
 
         kw = dict(dim=self.dim, heads=self.heads, dim_head=self.dim_head,
+                  scale=self.attn_scale, num_null_kv=self.attn_num_null_kv,
+                  peg=self.use_peg, peg_causal=self.use_peg,
                   attn_impl=self.attn_impl, policy=self.policy)
         self.enc_spatial = TransformerStack(depth=self.spatial_depth, **kw)
         self.enc_temporal = TransformerStack(depth=self.temporal_depth, **kw)
@@ -190,11 +204,14 @@ class CTViT(nn.Module):
     # -- encode / quantize / decode -------------------------------------------
 
     def encode_tokens(self, tokens: jnp.ndarray) -> jnp.ndarray:
-        """spatial-then-temporal attention (ctvit.py:282-307)."""
+        """spatial-then-temporal attention (ctvit.py:282-307); the spatial
+        transformer takes the ContinuousPositionBias like the reference
+        encode (ctvit.py:293-295), not just decode."""
         b, t, h, w, d = tokens.shape
         video_shape = (b, t, h, w)
         x = tokens.reshape(b * t, h * w, d)
-        x = self.enc_spatial(x, video_shape=video_shape)
+        bias = self.spatial_rel_pos_bias(h, w)
+        x = self.enc_spatial(x, video_shape=video_shape, attn_bias=bias)
         x = x.reshape(b, t, h, w, d).transpose(0, 2, 3, 1, 4)
         x = x.reshape(b * h * w, t, d)
         x = self.enc_temporal(x, video_shape=video_shape)

@@ -25,13 +25,13 @@ def hinge_gen_loss(fake_logits):
 
 
 def bce_discr_loss(fake_logits, real_logits):
-    return jnp.mean(
-        jnp.log1p(jnp.exp(fake_logits)) + jnp.log1p(jnp.exp(-real_logits))
-    )
+    # softplus == log1p(exp(·)) computed stably (exp overflows fp32 for
+    # logits ≳88, which early discriminators readily produce)
+    return jnp.mean(nn.softplus(fake_logits) + nn.softplus(-real_logits))
 
 
 def bce_gen_loss(fake_logits):
-    return jnp.mean(jnp.log1p(jnp.exp(-fake_logits)))
+    return jnp.mean(nn.softplus(-fake_logits))
 
 
 def r1_gradient_penalty(discr_apply, params, images, weight: float = 10.0):

@@ -121,8 +121,11 @@ def dice_scores_per_sample(
 
 
 def dice_scores(seg_logits: jnp.ndarray, seg_mask: jnp.ndarray) -> jnp.ndarray:
-    """Per-class dice averaged over the batch — (C,)."""
-    return jnp.mean(dice_scores_per_sample(seg_logits, seg_mask), axis=0)
+    """Per-class dice averaged over the batch — (C,).  nanmean: a class
+    absent from both pred and GT in ONE sample (per-sample NaN by design)
+    must not poison the class average across the rest of the batch (the
+    eval engine applies the same nanmean, eval/zero_shot.py)."""
+    return jnp.nanmean(dice_scores_per_sample(seg_logits, seg_mask), axis=0)
 
 
 # ---------------------------------------------------------------------------

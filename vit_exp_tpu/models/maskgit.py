@@ -88,6 +88,7 @@ class MaskGit(nn.Module):
         context: Optional[jnp.ndarray] = None,  # (b, m, dim_context)
         context_mask: Optional[jnp.ndarray] = None,
         cond_drop_mask: Optional[jnp.ndarray] = None,  # (b,) True→drop text
+        return_embeds: bool = False,  # trunk output for SelfCritic (:208)
     ) -> jnp.ndarray:
         b, n = token_ids.shape
         emb = self.param(
@@ -116,8 +117,12 @@ class MaskGit(nn.Module):
                 x, context=context, context_mask=context_mask
             )
         x = ScaleLayerNorm(policy=self.policy, name="norm_out")(x)
+        # to_logits params are created on every call path so the tree
+        # never forks on return_embeds (flax creates params lazily)
         logits = PDense(self.num_tokens, use_bias=False, policy=self.policy,
                         name="to_logits")(x)
+        if return_embeds:
+            return x.astype(jnp.float32)
         return logits.astype(jnp.float32)
 
     def forward_with_cond_scale(self, variables, token_ids, *, context,
@@ -137,16 +142,17 @@ class MaskGit(nn.Module):
 
 
 class SelfCritic(nn.Module):
-    """Reuses the MaskGit trunk to score token realness
-    (MaskGITTransformer.py:300-334)."""
+    """Reuses the MaskGit trunk to score token realness: Linear(dim, 1)
+    on the trunk EMBEDDINGS (return_embeds), matching the reference
+    (MaskGITTransformer.py:313-316, 333-334) — not on the vocab logits."""
 
     net: MaskGit
 
     @nn.compact
     def __call__(self, token_ids, **kwargs):
-        logits = self.net(token_ids, **kwargs)
-        return PDense(1, name="to_score")(
-            logits.astype(jnp.float32)
+        embeds = self.net(token_ids, return_embeds=True, **kwargs)
+        return PDense(1, name="to_pred")(
+            embeds.astype(jnp.float32)
         )[..., 0]
 
 
@@ -193,31 +199,44 @@ def maskgit_sample(
     temperature: float = 1.0,
     critic_apply: Optional[Callable] = None,
     critic_noise: float = 0.0,
+    prime_ids: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Iterative demasking (sample, MaskGITTransformer.py:417-557)."""
+    """Iterative demasking (sample, MaskGITTransformer.py:417-557).
+
+    prime_ids: (b, n_prime) fixed token ids prepended to the input at
+    every round (scene-chaining conditioning, :431-444); their logits
+    are sliced off (:502) and they never appear in the output."""
     mask_id = maskgit.mask_id
     ids0 = jnp.full((batch, seq_len), mask_id, jnp.int32)
+    n_prime = 0 if prime_ids is None else prime_ids.shape[1]
+
+    def with_prime(t):
+        return t if n_prime == 0 else jnp.concatenate([prime_ids, t], axis=1)
 
     def step_fn(s, carry):
         ids, rng = carry
         rng, g_rng, c_rng = jax.random.split(rng, 3)
         logits = maskgit.forward_with_cond_scale(
-            variables, ids, context=context, context_mask=context_mask,
-            cond_scale=cond_scale,
-        )
-        # gumbel sample candidate tokens at still-masked positions
+            variables, with_prime(ids), context=context,
+            context_mask=context_mask, cond_scale=cond_scale,
+        )[:, n_prime:]
+        # gumbel sample candidate tokens at still-masked positions; the
+        # temperature anneals to 0 over the demask steps (reference
+        # sample :503: starting_temperature · steps_til_x0/steps, with
+        # steps_til_x0 = steps-1-s) so the final step is pure argmax
+        temp_s = temperature * (steps - 1 - s) / steps
         gumbel = -jnp.log(-jnp.log(
             jax.random.uniform(g_rng, logits.shape, minval=1e-20, maxval=1.0)
         ))
         sampled = jnp.argmax(
-            logits / jnp.maximum(temperature, 1e-6) + gumbel, axis=-1
+            logits / jnp.maximum(temp_s, 1e-6) + gumbel, axis=-1
         ).astype(jnp.int32)
         is_masked = ids == mask_id
         candidate = jnp.where(is_masked, sampled, ids)
 
         # confidence: critic scores when given, else model probability
         if critic_apply is not None:
-            scores = -critic_apply(candidate)
+            scores = -critic_apply(with_prime(candidate))[:, n_prime:]
             scores = scores + critic_noise * jax.random.normal(
                 c_rng, scores.shape
             )

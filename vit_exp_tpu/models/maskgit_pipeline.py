@@ -76,6 +76,18 @@ class MaskGITTransformer:
 
     # -- sampling ----------------------------------------------------------
 
+    def _encode_indices(self, video) -> jnp.ndarray:
+        """video → flat VQ token ids (the reference's
+        return_only_codebook_ids encode, :438-440)."""
+        tokens = self.ctvit.apply(
+            self.ctvit_vars, video, return_encoded_tokens=True,
+            method=CTViT.__call__,
+        )
+        _, indices, _ = self.ctvit.apply(
+            self.ctvit_vars, tokens, method=CTViT.quantize
+        )
+        return indices.reshape(indices.shape[0], -1)
+
     def sample(
         self,
         rng,
@@ -85,14 +97,23 @@ class MaskGITTransformer:
         token_grid: Tuple[int, int, int],
         steps: int = 18,
         cond_scale: float = 3.0,
+        prime_frames: Optional[jnp.ndarray] = None,
+        **sample_kwargs,
     ) -> jnp.ndarray:
+        """prime_frames: (b, c, T_p, H, W) video whose VQ tokens condition
+        the demasking (prepended each round, logits sliced off —
+        MaskGITTransformer.py:431-444, 502); T_p must fit the CTViT
+        patching (1 + k·temporal_patch_size)."""
         t, h, w = token_grid
         context = self.text_encode(text_ids, text_mask)
+        prime_ids = (None if prime_frames is None
+                     else self._encode_indices(prime_frames))
         ids = maskgit_sample(
             self.maskgit, self.maskgit_vars, rng,
             batch=text_ids.shape[0], seq_len=t * h * w,
             context=context, context_mask=text_mask,
-            steps=steps, cond_scale=cond_scale,
+            steps=steps, cond_scale=cond_scale, prime_ids=prime_ids,
+            **sample_kwargs,
         )
         ids = ids.reshape(-1, t, h, w)
         return self.ctvit.apply(
@@ -105,17 +126,20 @@ class MaskGITTransformer:
         prompts: List[Tuple[jnp.ndarray, jnp.ndarray]],
         *,
         token_grid: Tuple[int, int, int],
-        overlap_frames: int = 1,
+        prime_length: int = 1,
         **sample_kwargs,
     ) -> jnp.ndarray:
-        """Scene chaining: one clip per prompt, trailing frames of each clip
-        prepended to the next (MaskGITTransformer.py:699-720)."""
+        """Scene chaining (make_video, MaskGITTransformer.py:699-720): one
+        clip per prompt, each conditioned on the PREVIOUS clip's trailing
+        `prime_length` frames via prime tokens (not just concatenated);
+        scenes are concatenated whole, reference semantics."""
         clips = []
+        prime = None
         for ids, mask in prompts:
             rng, sub = jax.random.split(rng)
             clip = self.sample(sub, ids, mask, token_grid=token_grid,
-                               **sample_kwargs)
-            if clips:
-                clip = clip[:, :, overlap_frames:]
+                               prime_frames=prime, **sample_kwargs)
             clips.append(clip)
+            if prime_length:
+                prime = clip[:, :, -prime_length:]
         return jnp.concatenate(clips, axis=2)

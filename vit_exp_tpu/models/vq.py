@@ -28,16 +28,20 @@ class VectorQuantize(nn.Module):
     def __call__(self, x: jnp.ndarray, *, update_codebook: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """x: (..., dim) → (quantized, indices, commit_loss)."""
-        codebook = self.variable(
-            "codebook", "codes",
-            lambda: jax.random.normal(
+        def init_codes():
+            return jax.random.normal(
                 jax.random.PRNGKey(self.codebook_size),
                 (self.codebook_size, self.dim),
-            ),
-        )
+            )
+
+        codebook = self.variable("codebook", "codes", init_codes)
         counts = self.variable(
             "codebook", "counts", lambda: jnp.ones((self.codebook_size,))
         )
+        # EMA numerator; codes = embed_sum / counts (standard EMA-VQ à la
+        # vector-quantize-pytorch).  Initialized to the codes so the ratio
+        # starts at the random init (counts start at 1).
+        embed_sum = self.variable("codebook", "embed_sum", init_codes)
 
         flat = x.reshape(-1, self.dim)
         xn = l2norm(flat.astype(jnp.float32))
@@ -52,18 +56,25 @@ class VectorQuantize(nn.Module):
         quantized = xn + jax.lax.stop_gradient(quantized - xn)
 
         if update_codebook and not self.is_initializing():
+            # EMA over BOTH the assignment counts and the assigned-vector
+            # sums; the code is their ratio.  (Using the raw per-batch sum
+            # directly in the code EMA — the previous form — made the
+            # effective decay collapse toward 0 for popular codes: a code
+            # assigned m unit-norm vectors got a (1-decay)·O(m) update
+            # against its own O(1) magnitude.)
             onehot = jax.nn.one_hot(indices, self.codebook_size,
                                     dtype=jnp.float32)
             new_counts = (
                 self.ema_decay * counts.value + (1 - self.ema_decay)
                 * jnp.sum(onehot, axis=0)
             )
-            sums = onehot.T @ xn
-            new_codes = (
-                self.ema_decay * codebook.value + (1 - self.ema_decay) * sums
+            new_sums = (
+                self.ema_decay * embed_sum.value + (1 - self.ema_decay)
+                * (onehot.T @ xn)
             )
             counts.value = new_counts
-            codebook.value = new_codes
+            embed_sum.value = new_sums
+            codebook.value = new_sums / jnp.maximum(new_counts, 1e-5)[:, None]
 
         out_shape = x.shape[:-1]
         return (
