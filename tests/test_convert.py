@@ -390,3 +390,112 @@ def test_convert_checkpoint_cli_roundtrip(tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         restored.params, params)
+
+
+def test_convert_legacy_ctvit_state_dict():
+    """Legacy CTViT (CT-LiPro/GenerateCT tower) converter: a reference-
+    named state dict (ctvit.py:118-525 module layout — Sequential patch
+    embeds, Transformer layers [PEG, Attention, None, FeedForward], CPB
+    net, vector-quantize-pytorch codebook buffers) converts to EXACTLY
+    our CTViT variable tree, transposes land where marked, and the
+    converted variables run encode+decode."""
+    from vit_exp_tpu.models.convert import convert_ctvit_state_dict
+    from vit_exp_tpu.models.ctvit import CTViT
+
+    dim, heads, dim_head, cb = 16, 2, 4, 32
+    inner = int(4 * (2 / 3) * dim)  # FeedForward inner (attention.py:51)
+    g = torch.Generator().manual_seed(0)
+
+    def t(*shape):
+        return torch.randn(*shape, generator=g)
+
+    sd = {}
+
+    def add_patch_emb(prefix, in_dim):
+        sd[f"{prefix}.1.weight"] = t(in_dim)
+        sd[f"{prefix}.1.bias"] = t(in_dim)
+        sd[f"{prefix}.2.weight"] = t(dim, in_dim)
+        sd[f"{prefix}.2.bias"] = t(dim)
+        sd[f"{prefix}.3.weight"] = t(dim)
+        sd[f"{prefix}.3.bias"] = t(dim)
+
+    add_patch_emb("to_patch_emb_first_frame", 4 * 4)       # c·p·p
+    add_patch_emb("to_patch_emb", 2 * 4 * 4)               # c·pt·p·p
+
+    def add_stack(prefix, depth=1):
+        sd[f"{prefix}.norm_out.gamma"] = t(dim)
+        for i in range(depth):
+            sd[f"{prefix}.layers.{i}.0.dsconv.weight"] = t(dim, 1, 3, 3, 3)
+            sd[f"{prefix}.layers.{i}.0.dsconv.bias"] = t(dim)
+            a = f"{prefix}.layers.{i}.1"
+            sd[f"{a}.norm.gamma"] = t(dim)
+            sd[f"{a}.to_q.weight"] = t(heads * dim_head, dim)
+            sd[f"{a}.to_kv.weight"] = t(2 * heads * dim_head, dim)
+            sd[f"{a}.to_out.weight"] = t(dim, heads * dim_head)
+            sd[f"{a}.q_scale"] = t(dim_head)
+            sd[f"{a}.k_scale"] = t(dim_head)
+            sd[f"{a}.null_kv"] = torch.zeros(heads, 0, dim_head)
+            f = f"{prefix}.layers.{i}.3"
+            sd[f"{f}.0.weight"] = t(dim)
+            sd[f"{f}.0.bias"] = t(dim)
+            sd[f"{f}.1.weight"] = t(2 * inner, dim)
+            sd[f"{f}.4.weight"] = t(dim, inner)
+
+    for p in ("enc_spatial_transformer", "enc_temporal_transformer",
+              "dec_spatial_transformer", "dec_temporal_transformer"):
+        add_stack(p)
+
+    sd["spatial_rel_pos_bias.net.0.0.weight"] = t(dim, 2)
+    sd["spatial_rel_pos_bias.net.0.0.bias"] = t(dim)
+    sd["spatial_rel_pos_bias.net.1.0.weight"] = t(dim, dim)
+    sd["spatial_rel_pos_bias.net.1.0.bias"] = t(dim)
+    sd["spatial_rel_pos_bias.net.2.weight"] = t(heads, dim)
+    sd["spatial_rel_pos_bias.net.2.bias"] = t(heads)
+    sd["to_pixels_first_frame.0.weight"] = t(4 * 4, dim)
+    sd["to_pixels_first_frame.0.bias"] = t(4 * 4)
+    sd["to_pixels.0.weight"] = t(2 * 4 * 4, dim)
+    sd["to_pixels.0.bias"] = t(2 * 4 * 4)
+    # grouped (leading groups=1 axis) codebook buffers, newer vq-pytorch
+    sd["vq._codebook.embed"] = t(1, cb, dim)
+    sd["vq._codebook.cluster_size"] = t(1, cb).abs()
+    sd["vq._codebook.embed_avg"] = t(1, cb, dim)
+
+    converted = convert_ctvit_state_dict(
+        sd, spatial_depth=1, temporal_depth=1)
+
+    import flax.linen as nn_flax
+
+    model = CTViT(dim=dim, codebook_size=cb, image_size=8, patch_size=4,
+                  temporal_patch_size=2, spatial_depth=1, temporal_depth=1,
+                  dim_head=dim_head, heads=heads, policy=FP32_POLICY)
+    video = jnp.zeros((1, 1, 3, 8, 8), jnp.float32)
+    init_vars = nn_flax.unbox(model.init(
+        jax.random.PRNGKey(0), video,
+        return_encoded_tokens=False, return_recons=True))
+
+    # exact tree + shape + dtype-compatible match
+    jax.tree_util.tree_map(
+        lambda a, b: (np.testing.assert_array_equal(
+            np.asarray(a).shape, np.asarray(b).shape)),
+        init_vars, converted)
+
+    # transposes: torch Linear weight (out, in) -> flax kernel (in, out)
+    np.testing.assert_allclose(
+        converted["params"]["first_frame_proj"]["kernel"],
+        sd["to_patch_emb_first_frame.2.weight"].numpy().T)
+    # torch Conv3d (dim, 1, kt, kh, kw) -> flax (kt, kh, kw, 1, dim)
+    np.testing.assert_allclose(
+        converted["params"]["enc_spatial"]["peg0"]["dsconv"]["kernel"],
+        sd["enc_spatial_transformer.layers.0.0.dsconv.weight"]
+        .numpy().transpose(2, 3, 4, 1, 0))
+    # grouped VQ buffers squeeze their groups axis
+    np.testing.assert_allclose(converted["codebook"]["vq"]["codes"],
+                               sd["vq._codebook.embed"].numpy()[0])
+    np.testing.assert_allclose(converted["codebook"]["vq"]["counts"],
+                               sd["vq._codebook.cluster_size"].numpy()[0])
+
+    converted = jax.tree_util.tree_map(jnp.asarray, converted)
+    recon, indices, commit = model.apply(
+        converted, video, return_encoded_tokens=False, return_recons=True)
+    assert recon.shape == video.shape
+    assert np.isfinite(np.asarray(recon)).all()

@@ -123,3 +123,101 @@ def load_ctclip_checkpoint(path: str, **kwargs) -> Dict[str, Any]:
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return convert_ctclip_state_dict(sd, **kwargs)
+
+
+def _ctvit_stack(sd, prefix: str, depth: int) -> Dict[str, Any]:
+    """One reference Transformer (attention.py:386-452, the NAIVE path
+    ctvit.py:177-187 uses: [PEG, Attention, cross=None, FeedForward]) →
+    models/ctvit.TransformerStack params."""
+    out: Dict[str, Any] = {
+        "norm_out": {"gamma": _np(sd[f"{prefix}.norm_out.gamma"])}
+    }
+    for i in range(depth):
+        peg = f"{prefix}.layers.{i}.0"
+        a = f"{prefix}.layers.{i}.1"
+        f = f"{prefix}.layers.{i}.3"
+        # torch Conv3d weight (dim, 1, kt, kh, kw) → flax (kt, kh, kw, 1, dim)
+        out[f"peg{i}"] = {"dsconv": {
+            "kernel": _np(sd[peg + ".dsconv.weight"]).transpose(2, 3, 4, 1, 0),
+            "bias": _np(sd[peg + ".dsconv.bias"]),
+        }}
+        out[f"attn{i}"] = {
+            "norm": {"gamma": _np(sd[a + ".norm.gamma"])},
+            "to_q": _linear(sd, a + ".to_q", bias=False),
+            "to_kv": _linear(sd, a + ".to_kv", bias=False),
+            "to_out": _linear(sd, a + ".to_out", bias=False),
+            "q_scale": _np(sd[a + ".q_scale"]),
+            "k_scale": _np(sd[a + ".k_scale"]),
+            "null_kv": _np(sd[a + ".null_kv"]),  # (h, 0, d) — no self nulls
+        }
+        out[f"ff{i}"] = {
+            "norm": _ln(sd, f + ".0"),
+            "wi": _linear(sd, f + ".1", bias=False),
+            "wo": _linear(sd, f + ".4", bias=False),
+        }
+    return out
+
+
+def convert_ctvit_state_dict(
+    state_dict: Dict[str, Any],
+    *,
+    spatial_depth: int = 4,
+    temporal_depth: int = 4,
+) -> Dict[str, Any]:
+    """Reference CTViT (the legacy CT-LiPro/GenerateCT tower,
+    ctvit.py:118-525) state dict → our models/ctvit.CTViT variables:
+    {"params": ..., "codebook": ...}.
+
+    Accepts a bare CTViT state dict or one nested under a prefix (pass
+    the pre-stripped dict).  The VQ codebook maps from
+    vector-quantize-pytorch's CosineSimCodebook buffers (embed /
+    cluster_size / embed_avg, each optionally carrying a leading
+    groups=1 axis)."""
+    sd = _strip_module(state_dict)
+
+    params: Dict[str, Any] = {
+        "first_frame_norm_in": _ln(sd, "to_patch_emb_first_frame.1"),
+        "first_frame_proj": _linear(sd, "to_patch_emb_first_frame.2"),
+        "first_frame_norm_out": _ln(sd, "to_patch_emb_first_frame.3"),
+        "rest_norm_in": _ln(sd, "to_patch_emb.1"),
+        "rest_proj": _linear(sd, "to_patch_emb.2"),
+        "rest_norm_out": _ln(sd, "to_patch_emb.3"),
+        "enc_spatial": _ctvit_stack(
+            sd, "enc_spatial_transformer", spatial_depth),
+        "enc_temporal": _ctvit_stack(
+            sd, "enc_temporal_transformer", temporal_depth),
+        "dec_spatial": _ctvit_stack(
+            sd, "dec_spatial_transformer", spatial_depth),
+        "dec_temporal": _ctvit_stack(
+            sd, "dec_temporal_transformer", temporal_depth),
+        "spatial_rel_pos_bias": {
+            "net0": _linear(sd, "spatial_rel_pos_bias.net.0.0"),
+            "net1": _linear(sd, "spatial_rel_pos_bias.net.1.0"),
+            "to_bias": _linear(sd, "spatial_rel_pos_bias.net.2"),
+        },
+        "to_pixels_first_frame": _linear(sd, "to_pixels_first_frame.0"),
+        "to_pixels": _linear(sd, "to_pixels.0"),
+    }
+
+    def vq_buffer(*names):
+        for n in names:
+            if n in sd:
+                v = _np(sd[n]).astype(np.float32)
+                return v[0] if v.ndim > 0 and v.shape[0] == 1 and (
+                    v.ndim == 3 or (v.ndim == 2 and "cluster" in n)) else v
+        return None
+
+    codes = vq_buffer("vq._codebook.embed", "vq.codebook.embed", "vq.embed")
+    if codes is None:
+        raise KeyError(
+            "no VQ codebook found in state dict (looked for "
+            "vq._codebook.embed / vq.codebook.embed / vq.embed)")
+    counts = vq_buffer("vq._codebook.cluster_size", "vq.cluster_size")
+    sums = vq_buffer("vq._codebook.embed_avg", "vq.embed_avg")
+    codebook = {"vq": {
+        "codes": codes,
+        "counts": counts if counts is not None
+        else np.ones((codes.shape[0],), np.float32),
+        "embed_sum": sums if sums is not None else codes,
+    }}
+    return {"params": params, "codebook": codebook}
