@@ -27,12 +27,20 @@ def make_zero_shot_cls_hook(
 
     pathologies = pathologies or PATHOLOGIES
 
+    box = {}
+
     def hook(params):
-        engine = ZeroShotClassifier(
-            model, params, tokenizer, pathologies=pathologies,
-            batch_size=batch_size, max_text_len=max_text_len,
-        )
-        return engine.infer(dataset, limit=limit)
+        # ONE engine per hook for the whole run: rebuilding would define
+        # fresh @jax.jit closures and recompile at every periodic eval
+        # (1-2 min each through the remote-compile relay)
+        if "engine" not in box:
+            box["engine"] = ZeroShotClassifier(
+                model, params, tokenizer, pathologies=pathologies,
+                batch_size=batch_size, max_text_len=max_text_len,
+            )
+        else:
+            box["engine"].set_params(params)
+        return box["engine"].infer(dataset, limit=limit)
 
     return hook
 
@@ -40,8 +48,14 @@ def make_zero_shot_cls_hook(
 def make_seg_dice_hook(model: CTCLIP, dataset, *, limit=10) -> Callable:
     from vit_exp_tpu.eval.zero_shot import ZeroShotSegmenter
 
+    box = {}
+
     def hook(params):
-        return ZeroShotSegmenter(model, params).infer(dataset, limit=limit)
+        if "engine" not in box:
+            box["engine"] = ZeroShotSegmenter(model, params)
+        else:
+            box["engine"].set_params(params)
+        return box["engine"].infer(dataset, limit=limit)
 
     return hook
 

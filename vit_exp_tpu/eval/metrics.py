@@ -166,8 +166,8 @@ def evaluate_external(
     """External-dataset AUROC with the reference's label remap
     (eval.py:206-265): prediction columns in `skip_idx` are dropped
     (default: 'Coronary artery wall calcification' #4 folded into
-    'Arterial wall calcification' #1, 'Interlobular septal thickening'
-    #13 absent externally); `merge_max` maps a kept prediction index to
+    'Arterial wall calcification' #1, 'Mosaic attenuation pattern' #13
+    absent externally); `merge_max` maps a kept prediction index to
     the set of internal indices max-pooled into it (default {1: (1, 4)}).
     y_true has one column per KEPT label, in order."""
     if merge_max is None:

@@ -71,7 +71,6 @@ def make_open_seg_vis_hook(
                 jnp.asarray(item["seg_mask"][None]), factor
             )
             down_img = downsample_stride(video, factor)[0, 0]
-            _, C = prompt_logits.shape[1], prompt_logits.shape[1]
             d, w, h = mask.shape[2:]
             for c in range(prompt_logits.shape[1]):
                 sim = (

@@ -221,8 +221,11 @@ class CTViT(nn.Module):
     def quantize(self, tokens: jnp.ndarray, update_codebook: bool = False):
         return self.vq(tokens, update_codebook=update_codebook)
 
-    def decode_tokens(self, tokens: jnp.ndarray) -> jnp.ndarray:
-        """(b, t, h, w, d) → reconstructed video (ctvit.py:309-351)."""
+    def decode_trunk(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        """(b, t, h, w, d) → post-transformer decode features — everything
+        of ctvit.py:309-351 BEFORE the to_pixels heads.  Split out so the
+        VQGAN adaptive gen weight can differentiate the pixels head alone
+        (grad_layer_wrt_loss on to_pixels[0].weight, ctvit.py:507-513)."""
         b, t, h, w, d = tokens.shape
         video_shape = (b, t, h, w)
         x = tokens.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, d)
@@ -231,8 +234,11 @@ class CTViT(nn.Module):
         x = x.reshape(b * t, h * w, d)
         bias = self.spatial_rel_pos_bias(h, w)
         x = self.dec_spatial(x, video_shape=video_shape, attn_bias=bias)
-        x = x.reshape(b, t, h, w, d)
+        return x.reshape(b, t, h, w, d)
 
+    def pixels_from_trunk(self, x: jnp.ndarray) -> jnp.ndarray:
+        """decode features → video via the first-frame/rest pixels heads."""
+        b, t, h, w, d = x.shape
         p, pt, c = self.patch_size, self.temporal_patch_size, self.channels
         first = self.to_pixels_first_frame(x[:, :1])
         first = first.reshape(b, 1, h, w, c, p, p)
@@ -245,6 +251,10 @@ class CTViT(nn.Module):
             b, c, (t - 1) * pt, h * p, w * p
         )
         return jnp.concatenate([first, rest], axis=2)
+
+    def decode_tokens(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        """(b, t, h, w, d) → reconstructed video (ctvit.py:309-351)."""
+        return self.pixels_from_trunk(self.decode_trunk(tokens))
 
     def __call__(
         self,

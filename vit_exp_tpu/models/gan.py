@@ -34,16 +34,19 @@ def bce_gen_loss(fake_logits):
     return jnp.mean(nn.softplus(-fake_logits))
 
 
-def r1_gradient_penalty(discr_apply, params, images, weight: float = 10.0):
-    """R1 penalty: E[||∇_x D(x)||²] on real images (ctvit.py:60-68)."""
+def gradient_penalty(discr_apply, params, images, weight: float = 10.0):
+    """Reference gradient penalty (ctvit.py:60-73): WGAN-GP form
+    weight · E[(‖∇_x Σ D(x)‖₂ − 1)²] on REAL images (grad_outputs=ones ≡
+    grad of the logit sum)."""
 
     def score(imgs):
         return jnp.sum(discr_apply(params, imgs))
 
     grads = jax.grad(score)(images)
-    return weight * jnp.mean(
-        jnp.sum(grads.reshape(grads.shape[0], -1) ** 2, axis=-1)
+    norms = jnp.sqrt(
+        jnp.sum(grads.reshape(grads.shape[0], -1) ** 2, axis=-1) + 1e-12
     )
+    return weight * jnp.mean((norms - 1.0) ** 2)
 
 
 class SliceDiscriminator(nn.Module):

@@ -4,9 +4,13 @@ Capability parity:
 - EMA copy of the generator (ema-pytorch equivalent, ctvit_trainer.py:160);
 - separate discriminator optimizer at lr×0.01 (ctvit_trainer.py:160);
 - 3×generator-step : 1×discriminator-step schedule (305-347);
-- losses: recon MSE + perceptual + commit + adversarial hinge
-  (ctvit.py:515-519), discriminator hinge + R1 gradient penalty
-  (models/gan.py); VGG perceptual defaults ON via models/vgg.py (converted
+- losses: recon MSE + perceptual + commit + ADAPTIVE-weighted adversarial
+  hinge (λ = ‖∂perc/∂W_pixels‖/‖∂gen/∂W_pixels‖ clamped 1e4,
+  ctvit.py:505-519); discriminator hinge + the reference's WGAN-style
+  gradient penalty on real frames every apply_grad_penalty_every steps
+  (ctvit.py:60-73, 464-466; models/gan.py), with SHARED frame indices for
+  real/fake picks (ctvit.py:443-445); VGG perceptual defaults ON via
+  models/vgg.py (converted
   torchvision weights when supplied, seeded random features otherwise —
   the reference ctor defaults vgg=None and has no default either);
 - periodic reconstruction sampling for inspection (360-398) — saved as npz
@@ -30,9 +34,10 @@ import optax
 from vit_exp_tpu.models.ctvit import CTViT
 from vit_exp_tpu.models.gan import (
     SliceDiscriminator,
+    adaptive_gen_weight,
+    gradient_penalty,
     hinge_discr_loss,
     hinge_gen_loss,
-    pick_random_frames,
 )
 
 
@@ -51,6 +56,7 @@ class CTViTTrainer:
         wd: float = 0.0,
         discr_lr_mult: float = 0.01,
         gen_steps_per_discr: int = 3,
+        apply_grad_penalty_every: int = 4,
         adversarial_weight: float = 1.0,
         commit_weight: float = 1.0,
         perceptual_fn: Optional[Callable] = None,
@@ -80,6 +86,7 @@ class CTViTTrainer:
             perceptual_fn = make_perceptual_fn(vgg_params)
         self.perceptual_fn = perceptual_fn
         self.gen_steps_per_discr = gen_steps_per_discr
+        self.apply_grad_penalty_every = apply_grad_penalty_every
         self.sample_every = sample_every
         self.results_folder = results_folder
         os.makedirs(results_folder, exist_ok=True)
@@ -114,11 +121,17 @@ class CTViTTrainer:
         @jax.jit
         def gen_step(params, codebook, discr_params, gen_opt, video, rng):
             def loss_fn(p):
-                (recon, _, commit), new_vars = mdl.apply(
-                    {"params": p, "codebook": codebook}, video,
-                    return_encoded_tokens=False, return_recons=True,
-                    update_codebook=True, mutable=["codebook"],
+                vars_ = {"params": p, "codebook": codebook}
+                tokens = mdl.apply(vars_, video,
+                                   method=CTViT.tokens_from_video)
+                enc = mdl.apply(vars_, tokens, method=CTViT.encode_tokens)
+                (quant, _, commit), new_vars = mdl.apply(
+                    vars_, enc, update_codebook=True, mutable=["codebook"],
+                    method=CTViT.quantize,
                 )
+                trunk = mdl.apply(vars_, quant, method=CTViT.decode_trunk)
+                recon = mdl.apply(vars_, trunk,
+                                  method=CTViT.pixels_from_trunk)
                 recon_loss = jnp.mean(
                     (recon.astype(jnp.float32) - video.astype(jnp.float32))
                     ** 2
@@ -126,18 +139,51 @@ class CTViTTrainer:
                 # SAME frame indices for recon and input (ctvit.py:482-484)
                 b, _, t = video.shape[:3]
                 idx = jax.random.randint(rng, (b,), 0, t)
-                frames = jax.vmap(lambda v, i: v[:, i])(recon, idx)
-                fake_logits = discr.apply({"params": discr_params}, frames)
-                gen_loss = hinge_gen_loss(fake_logits)
-                total = (recon_loss + commit_weight * commit
-                         + adversarial_weight * gen_loss)
+                pick = jax.vmap(lambda v, i: v[:, i])
+                frames = pick(recon, idx)
+                real_frames = pick(video, idx)
+                gen_loss = hinge_gen_loss(
+                    discr.apply({"params": discr_params}, frames))
                 perceptual = jnp.float32(0.0)
+                adaptive = jnp.float32(1.0)
                 if perc_fn is not None:
-                    real_frames = jax.vmap(lambda v, i: v[:, i])(video, idx)
                     perceptual = perc_fn(frames, real_frames)
-                    total = total + perceptual_weight * perceptual
+                    # adaptive weight (ctvit.py:505-513): λ =
+                    # ‖∂perc/∂W_pixels‖ / ‖∂gen/∂W_pixels‖ clamped to 1e4,
+                    # differentiating the pixels head ONLY (last_dec_layer
+                    # = to_pixels[0].weight) — cheap: one linear + frame
+                    # pick + discr/vgg per grad, not the whole model
+                    w0 = p["to_pixels"]["kernel"]
+                    if hasattr(w0, "unbox"):  # flax logical-axis metadata
+                        w0 = w0.unbox()
+
+                    def frames_of(w):
+                        pw = dict(p, to_pixels=dict(p["to_pixels"],
+                                                    kernel=w))
+                        r = mdl.apply({"params": pw, "codebook": codebook},
+                                      trunk, method=CTViT.pixels_from_trunk)
+                        return pick(r, idx)
+
+                    def gen_of(w):
+                        return hinge_gen_loss(discr.apply(
+                            {"params": discr_params}, frames_of(w)))
+
+                    def perc_of(w):
+                        return perc_fn(frames_of(w), real_frames)
+
+                    def norm(g):
+                        return jnp.sqrt(jnp.sum(g.astype(jnp.float32) ** 2))
+
+                    adaptive = jax.lax.stop_gradient(adaptive_gen_weight(
+                        norm(jax.grad(perc_of)(w0)),
+                        norm(jax.grad(gen_of)(w0)),
+                    ))
+                total = (recon_loss + commit_weight * commit
+                         + perceptual_weight * perceptual
+                         + adversarial_weight * adaptive * gen_loss)
                 aux = {"recon_loss": recon_loss, "commit_loss": commit,
                        "gen_loss": gen_loss, "perceptual_loss": perceptual,
+                       "adaptive_weight": adaptive,
                        "codebook": new_vars["codebook"]}
                 return total, aux
 
@@ -151,22 +197,37 @@ class CTViTTrainer:
             return params, aux["codebook"], gen_opt, metrics
 
         @jax.jit
-        def discr_step(params, codebook, discr_params, discr_opt, video, rng):
+        def discr_step(params, codebook, discr_params, discr_opt, video,
+                       rng, gp_mult):
             (recon, _, _) = mdl.apply(
                 {"params": params, "codebook": codebook}, video,
                 return_encoded_tokens=False, return_recons=True,
             )
             recon = jax.lax.stop_gradient(recon)
-            rng_f, rng_r = jax.random.split(rng)
-            fake = pick_random_frames(recon, rng_f)
-            real = pick_random_frames(video, rng_r)
+            # SAME frame indices for real and fake (ctvit.py:443-445 applies
+            # one frame_indices tensor to both) — unpaired frames would let
+            # the discriminator key on content instead of recon quality
+            b, _, t = video.shape[:3]
+            idx = jax.random.randint(rng, (b,), 0, t)
+            pick = jax.vmap(lambda v, i: v[:, i])
+            fake = pick(recon, idx)
+            real = pick(video, idx)
 
             def loss_fn(dp):
                 fake_logits = discr.apply({"params": dp}, fake)
                 real_logits = discr.apply({"params": dp}, real)
-                return hinge_discr_loss(fake_logits, real_logits)
+                loss = hinge_discr_loss(fake_logits, real_logits)
+                # WGAN-GP on real frames every apply_grad_penalty_every
+                # steps (ctvit.py:464-466, ctvit_trainer.py:296); gp_mult
+                # is the traced 0/1 cadence gate
+                gp = gradient_penalty(
+                    lambda pp, imgs: discr.apply({"params": pp}, imgs),
+                    dp, real,
+                )
+                return loss + gp_mult * gp, loss
 
-            loss, grads = jax.value_and_grad(loss_fn)(discr_params)
+            (_, loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                discr_params)
             updates, discr_opt = self.discr_tx.update(grads, discr_opt,
                                                       discr_params)
             return optax.apply_updates(discr_params, updates), discr_opt, loss
@@ -184,9 +245,11 @@ class CTViTTrainer:
         )
         logs.update({k: float(v) for k, v in metrics.items()})
         if (self.step + 1) % self.gen_steps_per_discr == 0:
+            gp_on = (self.apply_grad_penalty_every > 0
+                     and self.step % self.apply_grad_penalty_every == 0)
             self.discr_params, self.discr_opt, dloss = self._discr_step(
                 self.params, self.codebook, self.discr_params,
-                self.discr_opt, video, r2,
+                self.discr_opt, video, r2, jnp.float32(1.0 if gp_on else 0.0),
             )
             logs["discr_loss"] = float(dloss)
         self.ema_params = ema_update(self.ema_params, self.params)

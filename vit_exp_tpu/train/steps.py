@@ -193,35 +193,3 @@ def make_train_steps(
 
         steps[name] = jax.jit(step, donate_argnums=(0,))
     return steps
-
-
-def make_eval_encoders(model: CTCLIP):
-    """Jitted encoders for the zero-shot engines (eval/zero_shot.py)."""
-
-    @jax.jit
-    def encode_image_latents(params, video):
-        tokens = model.apply(
-            {"params": params}, video, method=CTCLIP.encode_image_tokens
-        )
-        return model.apply(
-            {"params": params}, tokens, method=CTCLIP.image_latents_from_tokens
-        )
-
-    @jax.jit
-    def encode_text_latents(params, input_ids, attention_mask):
-        hidden = model.apply(
-            {"params": params}, input_ids, attention_mask,
-            method=CTCLIP.encode_text_hidden,
-        )
-        return model.apply(
-            {"params": params}, hidden, method=CTCLIP.text_latents_from_hidden
-        )
-
-    @jax.jit
-    def score(params, text_latents, image_latents):
-        return model.apply(
-            {"params": params}, text_latents, image_latents,
-            method=CTCLIP.forward_infer,
-        )
-
-    return encode_image_latents, encode_text_latents, score

@@ -42,7 +42,6 @@ from vit_exp_tpu.train.checkpoint import CheckpointManager
 from vit_exp_tpu.train.optimizer import build_optimizer
 from vit_exp_tpu.train.sampler import build_dataset_sampler
 from vit_exp_tpu.train.steps import create_train_state, make_train_steps
-from vit_exp_tpu.core.multihost import is_main_process
 from vit_exp_tpu.utils.logging import MetricLogger
 from vit_exp_tpu.utils.profiling import StepTimer
 
@@ -222,8 +221,10 @@ class CTClipTrainer:
                 if profile_dir:
                     jax.profiler.stop_trace()
                 flush_pending()
-                if is_main_process():
-                    self.ckpt.save(self.step, self.state, wait=True)
+                # orbax save is a collective on multi-host meshes —
+                # every process joins; orbax writes shards per host and
+                # metadata from process 0
+                self.ckpt.save(self.step, self.state, wait=True)
                 print(f"preempted at step {self.step}: state saved, exiting",
                       flush=True)
                 return
@@ -239,12 +240,11 @@ class CTClipTrainer:
             if (
                 tcfg.save_model_every
                 and self.step % tcfg.save_model_every == 0
-                and is_main_process()
             ):
                 self.ckpt.save(self.step, self.state)
             if (
                 tcfg.eval_model_every
-                and (self.step + 1) % tcfg.eval_model_every == 0
+                and self.step % tcfg.eval_model_every == 0
             ):
                 # hooks block anyway — write step i's train line first so
                 # metrics.jsonl stays append-ordered by step
@@ -257,7 +257,7 @@ class CTClipTrainer:
                     )
             if (
                 tcfg.sample_val_every and self.sample_hooks
-                and (self.step + 1) % tcfg.sample_val_every == 0
+                and self.step % tcfg.sample_val_every == 0
             ):
                 flush_pending()
                 for name, hook in self.sample_hooks.items():
@@ -270,6 +270,5 @@ class CTClipTrainer:
         flush_pending()
         if profile_dir:
             jax.profiler.stop_trace()
-        if is_main_process():
-            self.ckpt.save(self.step, self.state, wait=True)
+        self.ckpt.save(self.step, self.state, wait=True)
         print("Training complete")
