@@ -57,11 +57,19 @@ def test_video_text_dataset(tmp_path):
         {"AccessionNo": ["ACC123"], "Impressions": ["Mild (edema)."]}
     ).to_csv(tmp_path / "reports.csv", index=False)
 
+    # slice-count gate (videotextdataset.py:61-63): the 8-slice scan is
+    # excluded at the reference default [100, 600]
     ds = VideoTextDataset(str(tmp_path), str(tmp_path / "reports.csv"),
                           target=(4, 4, 4), num_frames=3)
+    assert len(ds) == 0
+
+    ds = VideoTextDataset(str(tmp_path), str(tmp_path / "reports.csv"),
+                          target=(4, 4, 4), num_frames=3, min_slices=1)
     assert len(ds) == 1
     item = ds[0]
-    assert item["image"].shape == (1, 3, 4, 4)
+    # num_frames uses the reference cast_num_frames semantics (crop to
+    # f ≡ 1 mod frames, data.py:31-38): 4 % 3 == 1 → unchanged
+    assert item["image"].shape == (1, 4, 4, 4)
     assert item["text"].startswith("63 years old female:")
     assert "(" not in item["text"]
 

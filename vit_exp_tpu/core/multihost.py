@@ -33,10 +33,15 @@ def initialize(
         return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
+        # explicit arguments win over env vars even when falsy —
+        # process_id=0 IS the main process, `or` would let a stale
+        # JAX_PROCESS_ID silently reassign it
         num_processes=int(
-            num_processes or os.environ.get("JAX_NUM_PROCESSES", 1)
+            num_processes if num_processes is not None
+            else os.environ.get("JAX_NUM_PROCESSES", 1)
         ),
-        process_id=int(process_id or os.environ.get("JAX_PROCESS_ID", 0)),
+        process_id=int(process_id if process_id is not None
+                       else os.environ.get("JAX_PROCESS_ID", 0)),
     )
     return True
 

@@ -17,9 +17,14 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+# CLIP SimpleTokenizer pre-split (ct_clip/tokenizer.py:77-79):
+# letter runs \p{L}+ -> [^\W\d_]+ ; SINGLE digits \p{N} -> \d ;
+# punctuation runs [^\s\p{L}\p{N}]+ (underscore included, digits split
+# out) -> (?:[^\w\s]|_)+.  "covid19!!" -> covid, 1, 9, !! like the
+# reference, not covid19, !, !.
 _PAT = re.compile(
     r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-    r"|[^\s\w]|\w+",
+    r"|[^\W\d_]+|\d|(?:[^\w\s]|_)+",
     re.IGNORECASE,
 )
 

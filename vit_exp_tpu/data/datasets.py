@@ -118,20 +118,23 @@ class CTSegDataset:
     """Closed-set segmentation pairs (pre-cropped npz, no runtime crop)."""
 
     def __init__(self, data_folder: str, mask_folder: str):
-        self.samples = list(
-            zip(
-                _cached_list(
-                    os.path.join(data_folder, "tmp_cache_data_list",
-                                 "image_samples_tpu.txt"),
-                    lambda: sorted(glob.glob(os.path.join(data_folder, "*.npz"))),
-                ),
-                _cached_list(
-                    os.path.join(mask_folder, "tmp_cache_mask_list",
-                                 "mask_samples_tpu.txt"),
-                    lambda: sorted(glob.glob(os.path.join(mask_folder, "*.npz"))),
-                ),
-            )
+        images = _cached_list(
+            os.path.join(data_folder, "tmp_cache_data_list",
+                         "image_samples_tpu.txt"),
+            lambda: sorted(glob.glob(os.path.join(data_folder, "*.npz"))),
         )
+        masks = _cached_list(
+            os.path.join(mask_folder, "tmp_cache_mask_list",
+                         "mask_samples_tpu.txt"),
+            lambda: sorted(glob.glob(os.path.join(mask_folder, "*.npz"))),
+        )
+        # reference data.py:415 asserts the counts match — zip would
+        # silently truncate and pair every image after a gap with the
+        # WRONG mask
+        assert len(images) == len(masks), (
+            f"{len(images)} images vs {len(masks)} masks — the sorted "
+            "lists would misalign")
+        self.samples = list(zip(images, masks))
 
     def __len__(self):
         return len(self.samples)

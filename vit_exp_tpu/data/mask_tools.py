@@ -39,13 +39,17 @@ def align_mask_to_image(
     mask: np.ndarray, image_shape_dhw: Tuple[int, int, int],
     *, reorder: bool = True, binarize: bool = True,
 ) -> np.ndarray:
-    """Scan-level mask → image-aligned (C, D, H, W) (mask_full.py:31-80)."""
-    if reorder and mask.shape[1:] != tuple(image_shape_dhw):
+    """Scan-level mask → image-aligned (C, D, H, W) (mask_full.py:55-80):
+    the (0,3,1,2) reorder is UNCONDITIONAL (the reference transposes
+    before any shape comparison — a cubic mask must still reorder), and
+    post-resize binarization is astype(bool), i.e. ANY nonzero
+    interpolated value is foreground (not a 0.5 threshold)."""
+    if reorder:
         mask = reorder_mask(mask)
     if mask.shape[1:] != tuple(image_shape_dhw):
         mask = _resize_mask_trilinear(mask, image_shape_dhw)
         if binarize:
-            mask = (mask > 0.5).astype(np.float32)
+            mask = (mask != 0).astype(np.float32)
     return mask.astype(np.float32)
 
 

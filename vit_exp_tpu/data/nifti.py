@@ -64,9 +64,14 @@ def read_nifti(path: str) -> np.ndarray:
     count = int(np.prod(shape))
     data = np.frombuffer(raw, dtype=dtype, count=count, offset=vox_offset)
     data = data.reshape(shape, order="F")
-    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
-        slope = scl_slope if scl_slope != 0.0 else 1.0
-        data = data.astype(np.float64) * slope + scl_inter
+    # NIfTI-1 scaling semantics (nibabel parity): slope==0 or NaN means
+    # UNSCALED — the intercept is ignored too, not applied on its own
+    import math
+
+    if (scl_slope not in (0.0, 1.0) or scl_inter != 0.0) and not (
+            math.isnan(scl_slope) or scl_slope == 0.0
+            or math.isnan(scl_inter)):
+        data = data.astype(np.float64) * scl_slope + scl_inter
     return np.asarray(data)
 
 

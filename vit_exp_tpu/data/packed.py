@@ -173,6 +173,16 @@ class PackedVolumeStore:
         n_elem = int(np.prod(shape))
         if out is None:
             out = np.empty((len(recs),) + shape, dtype=np.float32)
+        else:
+            # the native reader writes through a raw pointer at computed
+            # element offsets — an undersized/wrong-dtype buffer would be
+            # heap corruption, not an exception
+            want = (len(recs),) + shape
+            if (tuple(out.shape) != want or out.dtype != np.float32
+                    or not out.flags["C_CONTIGUOUS"]):
+                raise ValueError(
+                    f"out must be C-contiguous float32 {want}; got "
+                    f"{out.dtype} {tuple(out.shape)}")
         native.read_convert_f32(
             [self._fd(r["shard"]) for r in recs],
             [r["offset"] for r in recs],

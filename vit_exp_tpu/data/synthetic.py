@@ -40,7 +40,11 @@ class SyntheticCTDataset:
         self.n_classes = n_classes
         self.max_text_len = max_text_len
         self.seed = seed
-        if data_type == "imageopenseg" and tokenizer is not None:
+        if data_type == "imageopenseg":
+            if tokenizer is None:
+                raise ValueError(
+                    "imageopenseg synthetic data needs a tokenizer for the "
+                    "class prompts (pass tokenizer=HashTokenizer() etc.)")
             prompts = [
                 f"This is region of organ {i}." for i in range(n_classes)
             ]

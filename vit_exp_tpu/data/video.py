@@ -155,8 +155,12 @@ def load_hu_volume(
 
 
 def cast_num_frames(video: np.ndarray, frames: int) -> np.ndarray:
-    """Crop or edge-repeat the frame axis to exactly `frames`
-    (transformer_maskgit data.py cast_num_frames)."""
+    """Crop or edge-repeat the frame axis to EXACTLY `frames` — a fixed-
+    shape utility for jit-friendly batching.  NOTE: the reference's
+    cast_num_frames (transformer_maskgit data.py:31-38) has different
+    semantics — crop to f ≡ 1 (mod frames) for CTViT's first-frame layout
+    — implemented here as cast_num_frames_mod1, which is what the
+    video datasets apply."""
     d = video.shape[1]
     if d == frames:
         return video
@@ -206,6 +210,14 @@ class VideoTextDataset:
                 for nii in sorted(
                     glob.glob(os.path.join(acc_folder, "*.nii.gz"))
                 ):
+                    # slice-count gate (videotextdataset.py:61-63): skip
+                    # scans outside [min_slices, max_slices]; header-only
+                    # read, no voxel IO
+                    from vit_exp_tpu.data.nifti import read_nifti_shape
+
+                    n_slices = read_nifti_shape(nii)[-1]
+                    if not (min_slices <= n_slices <= max_slices):
+                        continue
                     meta_path = nii.replace(".nii.gz", "") + "_metadata.json"
                     metadata = {}
                     if os.path.exists(meta_path):
@@ -223,7 +235,7 @@ class VideoTextDataset:
         nii, text = self.samples[index]
         video = load_hu_volume(nii, target=self.target)
         if self.num_frames:
-            video = cast_num_frames(video, self.num_frames)
+            video = cast_num_frames_mod1(video, self.num_frames)
         return {"image": video, "text": text.translate(_STRIP)}
 
 
@@ -245,7 +257,7 @@ class VideoDataset:
     def __getitem__(self, index: int) -> Dict:
         video = load_hu_volume(self.paths[index], target=self.target)
         if self.num_frames:
-            video = cast_num_frames(video, self.num_frames)
+            video = cast_num_frames_mod1(video, self.num_frames)
         return {"image": video, "data_type": "video"}
 
 
