@@ -107,6 +107,31 @@ def test_text_classifier_trains_and_evaluates():
     metrics = trainer.evaluate([(ids, mask, labels)])
     assert set(metrics) >= {"val_loss", "macro_f1", "accuracy"}
     assert not trainer.end_epoch(metrics["val_loss"])
+    # best-val checkpointing (model_trainer.py parity): the improving
+    # epoch snapshotted + autosaved params; a fresh trainer loads them
+    # back bit-exact
+    import os
+
+    path = os.path.join("/tmp/tc_test", "best_model.msgpack")
+    assert os.path.exists(path)
+    trainer2 = TextClassifierTrainer(model, results_folder="/tmp/tc_test2")
+    trainer2.load(path)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        trainer.params, trainer2.params)
+
+
+def test_rlop_absolute_min_lr_floor():
+    """min_lr floors the EFFECTIVE lr, not the multiplicative scale."""
+    from vit_exp_tpu.text_classifier.trainer import ReduceLROnPlateau
+
+    rlop = ReduceLROnPlateau(factor=0.1, patience=0, min_lr=1e-8,
+                             base_lr=2e-5)
+    rlop.step(1.0)
+    for _ in range(20):  # plateau forever
+        scale = rlop.step(1.0)
+    assert scale * 2e-5 >= 1e-8 * 0.999999
 
 
 def test_cawr_schedule_shape():

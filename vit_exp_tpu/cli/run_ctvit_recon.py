@@ -64,7 +64,13 @@ def main(argv=None):
         from vit_exp_tpu.train.checkpoint import CheckpointManager
 
         mgr = CheckpointManager(args.checkpoint)
-        params = mgr.load_model_only(args.step, params)
+        # restore BOTH collections: the trained VQ codebook lives in the
+        # 'codebook' variable collection (EMA buffers, models/vq.py), not
+        # in params — a params-only restore would quantize every volume
+        # against random-init codes
+        restored = mgr.restore(args.step,
+                               {"params": params, "codebook": codebook})
+        params, codebook = restored["params"], restored["codebook"]
 
     @jax.jit
     def recon_fn(p, cb, video):

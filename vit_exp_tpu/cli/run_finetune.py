@@ -77,8 +77,12 @@ def main(argv=None):
             tokenizer=tokenizer,
         )
 
-    total = args.epochs * max(len(dataset) // args.batch_size, 1)
+    # schedule horizon must match the loop's actual optimizer-step count:
+    # lipro steps once per batch, vocabfine once per SAMPLE (reference
+    # ct_vocabfine_train.py:69 uses batch_size=1) — a //batch_size horizon
+    # there would decay the cosine LR to 0 halfway through training
     if args.mode == "lipro":
+        total = args.epochs * max(len(dataset) // args.batch_size, 1)
         from vit_exp_tpu.finetune.lipro import LiProTrainer
 
         trainer = LiProTrainer(
@@ -96,6 +100,7 @@ def main(argv=None):
     else:
         from vit_exp_tpu.finetune.vocabfine import VocabFineTrainer
 
+        total = args.epochs * len(dataset)
         trainer = VocabFineTrainer(
             model, params, tokenizer, lr=args.lr or 5e-6, wd=args.wd,
             total_steps=total,

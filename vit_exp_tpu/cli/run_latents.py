@@ -15,8 +15,11 @@ import json
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--int8", action="store_true",
-                        help="quantize the FF weights/activations to int8 (serving)")
+    parser.add_argument("--int8", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="int8 serving kernels (the default across all "
+                        "serving CLIs; --no-int8 for bf16) — dumped "
+                        "latents then match production numerics")
     parser.add_argument("--config", required=True)
     parser.add_argument("--model_path", default=None)
     parser.add_argument("--torch_ckpt", action="store_true")

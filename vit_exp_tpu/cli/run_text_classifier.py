@@ -52,6 +52,11 @@ def main(argv=None):
     parser.add_argument("--lr", type=float, default=2e-5)
     parser.add_argument("--max_len", type=int, default=512)
     parser.add_argument("--results_folder", default="./results_text_classifier")
+    parser.add_argument("--model_path", default=None,
+                        help="msgpack weights for infer (default: "
+                        "<results_folder>/best_model.msgpack if present)")
+    parser.add_argument("--val_frac", type=float, default=0.1,
+                        help="held-out fraction driving early stop / RLOP")
     args = parser.parse_args(argv)
 
     from vit_exp_tpu.core.compile_cache import enable_compilation_cache
@@ -81,9 +86,24 @@ def main(argv=None):
         assert labels is not None, "--labels required for training"
         rng = np.random.default_rng(0)
         n = len(texts)
+        # REAL holdout: early stop / RLOP track generalization, not
+        # training fit (reference splits train/val, train.py:60-75)
+        perm = rng.permutation(n)
+        n_val = max(args.batch_size, int(n * args.val_frac)) if n > 1 else 0
+        n_val = min(n_val, max(n - 1, 0))
+        val_idx, train_idx = perm[:n_val], perm[n_val:]
+
+        def val_batches():
+            for i in range(0, len(val_idx), args.batch_size):
+                sel = val_idx[i:i + args.batch_size]
+                toks = tokenizer([texts[j] for j in sel],
+                                 max_length=args.max_len)
+                yield (toks["input_ids"], toks["attention_mask"],
+                       labels[sel])
+
         for epoch in range(args.epochs):
-            order = rng.permutation(n)
-            for start in range(0, n, args.batch_size):
+            order = rng.permutation(train_idx)
+            for start in range(0, len(order), args.batch_size):
                 idx = order[start:start + args.batch_size]
                 batch_texts = [
                     shuffle_sentences_augment(texts[i], rng=rng)
@@ -94,25 +114,28 @@ def main(argv=None):
                 loss = trainer.fit_batch(
                     toks["input_ids"], toks["attention_mask"], labels[idx]
                 )
-            metrics = trainer.evaluate(
-                [(tokenizer(texts[i:i + args.batch_size],
-                            max_length=args.max_len)["input_ids"],
-                  tokenizer(texts[i:i + args.batch_size],
-                            max_length=args.max_len)["attention_mask"],
-                  labels[i:i + args.batch_size])
-                 for i in range(0, min(n, 256), args.batch_size)]
-            )
+            metrics = trainer.evaluate(list(val_batches()))
             print(f"epoch {epoch}: train_loss {loss:.4f} "
                   f"val_loss {metrics['val_loss']:.4f} "
                   f"macro_f1 {metrics['macro_f1']:.4f}")
             if trainer.end_epoch(metrics["val_loss"]):
                 print("early stop")
                 break
+        path = trainer.save()
+        print(f"best-val checkpoint: {path}")
     else:
         import pandas as pd
         import jax.numpy as jnp
         import jax
 
+        ckpt = args.model_path or os.path.join(args.results_folder,
+                                               "best_model.msgpack")
+        if os.path.exists(ckpt):
+            trainer.load(ckpt)
+            print(f"loaded weights from {ckpt}")
+        else:
+            print(f"WARNING: no checkpoint at {ckpt} — predictions come "
+                  "from randomly initialized weights", flush=True)
         rows = []
         for start in range(0, len(texts), args.batch_size):
             chunk = texts[start:start + args.batch_size]

@@ -129,6 +129,7 @@ def main(argv=None):
     mesh = mesh_from_cli(config, args.mesh)
 
     model_paths = args.model_path or [None]
+    engine = None
     for path in model_paths:
         if path is None:
             import flax.linen as nn
@@ -150,9 +151,16 @@ def main(argv=None):
                                  torch_ckpt=args.torch_ckpt,
                                  bert_cfg=bert_cfg)
             tag = os.path.basename(path)
-        engine = ZeroShotClassifier(
-            model, params, tokenizer, batch_size=args.batch_size, mesh=mesh
-        )
+        # ONE engine for the whole checkpoint sweep: set_params swaps
+        # weights without re-tracing the jitted programs (each remote
+        # compile costs 1-2 min on the relay)
+        if engine is None:
+            engine = ZeroShotClassifier(
+                model, params, tokenizer, batch_size=args.batch_size,
+                mesh=mesh,
+            )
+        else:
+            engine.set_params(params)
         out = os.path.join(args.results_folder, tag)
         res = engine.infer(dataset, results_folder=out)
         print(json.dumps({"model": tag, **{k: v for k, v in res.items()}}))

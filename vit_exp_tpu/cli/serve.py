@@ -21,7 +21,7 @@ Endpoints (stdlib http.server; JSON in/out):
 
 Usage:
     python -m vit_exp_tpu.cli.serve --config cfg.yaml \
-        [--model_path ckpt] [--port 8750] [--synthetic-init]
+        [--model_path ckpt] [--port 8750]
 """
 
 from __future__ import annotations
@@ -357,14 +357,17 @@ def main(argv=None):
     engine.prepare()
 
     @jax.jit
-    def _latent(video):
+    def _latent(params, video):
+        # params as an ARGUMENT, never a closure: closed-over weights bake
+        # into the HLO as literals and blow the relay's compile-request
+        # size limit (CLAUDE.md; same contract as the engine programs)
         tokens = model.apply({"params": params}, video,
                              method=CTCLIP.encode_image_tokens)
         return model.apply({"params": params}, tokens,
                            method=CTCLIP.image_latents_from_tokens)
 
     def latent_fn(arr):
-        return np.asarray(_latent(jnp.asarray(arr[None])))[0]
+        return np.asarray(_latent(params, jnp.asarray(arr[None])))[0]
 
     if args.warmup:  # compile exactly the shapes the batcher dispatches
         t0 = time.perf_counter()

@@ -92,17 +92,17 @@ class LiProTrainer:
 
         @jax.jit
         def latents_fn(clip_params, video):
+            # the reference probe trains on the model's return_latents
+            # output, which is l2-NORMALIZED (ct_clip.py:1618,1638 —
+            # map(l2norm, ...) before return); image_latents_from_tokens
+            # is exactly that path (mean-before-projection, exact for the
+            # bias-free linear, and 13k× cheaper than projecting per
+            # token)
             tokens = model.apply({"params": clip_params}, video,
                                  method=CTCLIP.encode_image_tokens)
-            b = tokens.shape[0]
-            flat = tokens.reshape(b, -1, tokens.shape[-1])
-            lat = model.apply(
-                {"params": clip_params}, flat,
-                method=lambda m, f: m.to_visual_latent(f),
-            )
-            # pre-l2norm mean latents (the probe sees raw projections,
-            # ct_lipro reuses the model's return_latents path)
-            return jax.lax.stop_gradient(jnp.mean(lat, axis=1))
+            lat = model.apply({"params": clip_params}, tokens,
+                              method=CTCLIP.image_latents_from_tokens)
+            return jax.lax.stop_gradient(lat)
 
         @jax.jit
         def train_step(head_params, opt_state, latents, labels, dropout_rng):

@@ -26,12 +26,11 @@ class RadBertClassifier(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None):
-        if self.roberta_positions and attention_mask is not None:
-            # HF Roberta: position_ids = cumsum(mask)*mask + padding_idx(1);
-            # our BertModel uses arange, so shift ids via the embedding
-            # table offset handled in conversion; arange works because
-            # padding is trailing under max_length tokenization
-            pass
+        # RoBERTa position handling is entirely static: HF RoBERTa uses
+        # position_ids = cumsum(mask)·mask + padding_idx(1), our BertModel
+        # uses arange — the converter (convert_hf_radbert) slices the
+        # position table by the offset, which is exact because padding is
+        # trailing under max_length tokenization.  No runtime remap here.
         hidden = BertModel(self.config, policy=self.policy, name="encoder")(
             input_ids, attention_mask
         )

@@ -55,13 +55,16 @@ def cosine_annealing_warm_restarts(
 
 
 class ReduceLROnPlateau:
-    """Host-side RLOP multiplier (torch semantics: factor on stall)."""
+    """Host-side RLOP multiplier (torch semantics: factor on stall;
+    min_lr is an ABSOLUTE floor on the effective LR, so the scale floors
+    at min_lr / base_lr — not at min_lr itself, which would let the
+    effective LR decay 1000x below the intended minimum)."""
 
     def __init__(self, factor: float = 0.5, patience: int = 5,
-                 min_lr: float = 1e-8):
+                 min_lr: float = 1e-8, base_lr: float = 1.0):
         self.factor = factor
         self.patience = patience
-        self.min_lr = min_lr
+        self.min_scale = min_lr / max(base_lr, 1e-30)
         self.best = float("inf")
         self.bad_epochs = 0
         self.scale = 1.0
@@ -73,7 +76,7 @@ class ReduceLROnPlateau:
         else:
             self.bad_epochs += 1
             if self.bad_epochs > self.patience:
-                self.scale = max(self.scale * self.factor, self.min_lr)
+                self.scale = max(self.scale * self.factor, self.min_scale)
                 self.bad_epochs = 0
         return self.scale
 
@@ -99,7 +102,7 @@ class TextClassifierTrainer:
             "params"
         ]
         self.scheduler_kind = scheduler
-        self.rlop = ReduceLROnPlateau()
+        self.rlop = ReduceLROnPlateau(base_lr=lr)
         self._lr_scale = 1.0
         if scheduler == "cawr":
             sched = cosine_annealing_warm_restarts(lr, first_cycle, warmup=50)
@@ -109,6 +112,7 @@ class TextClassifierTrainer:
             self.tx = optax.inject_hyperparams(optax.adamw)(learning_rate=lr)
         self.opt_state = self.tx.init(self.params)
         self.best_loss = float("inf")
+        self.best_params = None
         self.epochs_no_improve = 0
         self.early_stop = early_stop
         self.step = 0
@@ -177,15 +181,42 @@ class TextClassifierTrainer:
             "macro_recall": float(recall.mean()),
         }
 
-    def end_epoch(self, val_loss: float) -> bool:
-        """Track best loss; returns True when early stop triggers
-        (model_trainer.py best-loss checkpoint + patience 100)."""
+    def end_epoch(self, val_loss: float, *, autosave: bool = True) -> bool:
+        """Track best loss; returns True when early stop triggers.
+        On improvement the CURRENT params are snapshotted as best (and
+        written to disk when autosave) — the reference checkpoints the
+        best-val-loss model every time it improves (model_trainer.py
+        best-loss checkpoint + patience 100)."""
         if val_loss < self.best_loss:
             self.best_loss = val_loss
+            self.best_params = self.params
             self.epochs_no_improve = 0
+            if autosave:
+                self.save()
             return False
         self.epochs_no_improve += 1
         return self.epochs_no_improve >= self.early_stop
+
+    def save(self, path: str = None) -> str:
+        """Serialize the best (or current) params as flax msgpack."""
+        from flax import serialization
+
+        path = path or os.path.join(self.results_folder,
+                                    "best_model.msgpack")
+        params = self.best_params if self.best_params is not None \
+            else self.params
+        with open(path + ".tmp", "wb") as f:
+            f.write(serialization.to_bytes(params))
+        os.replace(path + ".tmp", path)
+        return path
+
+    def load(self, path: str):
+        """Restore params saved by save() (shape-checked against init)."""
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            self.params = serialization.from_bytes(self.params, f.read())
+        return self.params
 
 
 def per_label_report(

@@ -65,6 +65,7 @@ class CTViTTrainer:
         vgg_params=None,
         results_folder: str = "./results_ctvit",
         sample_every: int = 1000,
+        save_every: int = 0,
         seed: int = 0,
     ):
         self.model = model
@@ -88,6 +89,7 @@ class CTViTTrainer:
         self.gen_steps_per_discr = gen_steps_per_discr
         self.apply_grad_penalty_every = apply_grad_penalty_every
         self.sample_every = sample_every
+        self.save_every = save_every
         self.results_folder = results_folder
         os.makedirs(results_folder, exist_ok=True)
 
@@ -254,6 +256,8 @@ class CTViTTrainer:
             logs["discr_loss"] = float(dloss)
         self.ema_params = ema_update(self.ema_params, self.params)
         self.step += 1
+        if self.save_every and self.step % self.save_every == 0:
+            self.save()
         if self.sample_every and self.step % self.sample_every == 0:
             recon, _, _ = self.model.apply(
                 {"params": self.ema_params, "codebook": self.codebook},
@@ -264,6 +268,19 @@ class CTViTTrainer:
                 np.asarray(recon[0, 0]),
             )
         return logs
+
+    def save(self, step: Optional[int] = None):
+        """Inference checkpoint {params: EMA weights, codebook} under
+        results_folder/checkpoints/ckpt_{step} — exactly what
+        cli/run_ctvit_recon.py restores (the reference samples with the
+        EMA copy, ctvit_trainer.py:360-398)."""
+        from vit_exp_tpu.train.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(
+            os.path.join(self.results_folder, "checkpoints"))
+        mgr.save(step if step is not None else self.step,
+                 {"params": self.ema_params, "codebook": self.codebook},
+                 wait=True)
 
 
 class MaskGITTrainer:
