@@ -209,8 +209,16 @@ def main():
     config = ExperimentConfig.from_dict({"arch": arch})
     import os
 
-    ff_impl = os.environ.get(
-        "BENCH_FF_IMPL", "pallas_int8" if on_tpu else "xla")
+    # the FF default follows the attention impl's precision family so
+    # BENCH_ATTN_IMPL=pallas_static alone measures the documented bf16
+    # config, not a silent bf16-attn/int8-FF hybrid
+    if not on_tpu:
+        ff_default = "xla"
+    elif attn_impl.endswith("int8"):
+        ff_default = "pallas_int8"
+    else:
+        ff_default = "pallas"
+    ff_impl = os.environ.get("BENCH_FF_IMPL", ff_default)
     model = build_ctclip(config, bert_config=bert_cfg, attn_impl=attn_impl,
                          ff_impl=ff_impl, fuse_qkv=on_tpu)
     a = config.arch
@@ -311,24 +319,30 @@ def _require_backend(train: bool, timeout_s: float = 600.0):
     result = {}
 
     def probe():
-        import jax
+        try:
+            import jax
 
-        result["backend"] = jax.default_backend()
+            result["backend"] = jax.default_backend()
+        except Exception as e:  # noqa: BLE001 — reported verbatim below
+            result["error"] = f"{type(e).__name__}: {e}"
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
     if "backend" not in result:
+        err = result.get(
+            "error",
+            f"jax backend init timed out after {timeout_s:.0f}s "
+            "(TPU tunnel down?)")
         print(json.dumps({
             "metric": ("contrastive_train_steps_per_sec_per_chip_bs4"
                        if train else "zero_shot_volumes_per_sec_per_chip"),
             "value": 0.0,
             "unit": "steps/sec/chip" if train else "volumes/sec/chip",
             "vs_baseline": 0.0,
-            "error": f"jax backend init timed out after {timeout_s:.0f}s "
-                     "(TPU tunnel down?)",
+            "error": err,
         }), flush=True)
-        os._exit(0)  # the probe thread is wedged; don't wait on it
+        os._exit(0)  # the probe thread may be wedged; don't wait on it
 
 
 if __name__ == "__main__":

@@ -176,21 +176,21 @@ def main():
                              keepdims=True).astype(k.dtype)
     nkn = nk / jnp.linalg.norm(nk.astype(jnp.float32), axis=-1,
                                keepdims=True).astype(nk.dtype)
-    B = jnp.float32(SCALE)
+    BOUND = jnp.float32(SCALE)
     timed_safe("static_1024(concat)",
           lambda qi: flash_attention(qi, kn, v, scale=SCALE, null_k=nkn,
-                                     null_v=nv, logit_bound=B))
+                                     null_v=nv, logit_bound=BOUND))
     timed_safe("static_2048x1024",
           lambda qi: flash_attention(qi, kn, v, scale=SCALE, null_k=nkn,
-                                     null_v=nv, logit_bound=B, block_q=2048))
+                                     null_v=nv, logit_bound=BOUND, block_q=2048))
     timed_safe("static_init_1152",
           lambda qi: flash_attention(qi, kn, v, scale=SCALE, null_k=nkn,
-                                     null_v=nv, logit_bound=B,
+                                     null_v=nv, logit_bound=BOUND,
                                      null_strategy="init",
                                      block_q=1152, block_k=1152))
     timed_safe("static_init_1024",
           lambda qi: flash_attention(qi, kn, v, scale=SCALE, null_k=nkn,
-                                     null_v=nv, logit_bound=B,
+                                     null_v=nv, logit_bound=BOUND,
                                      null_strategy="init"))
 
 

@@ -93,28 +93,38 @@ def main():
     engine = ZeroShotClassifier(model, params, tok, batch_size=4)
     engine.prepare()
 
-    # warm the compile + page cache with one pass
+    # warm the compile cache with one pass, then EQUALIZE the page cache
+    # before either timed pass: whichever variant runs first would
+    # otherwise absorb all the cold npz reads and hand the second a
+    # cache-warm advantage (both timed passes below measure warm-cache
+    # decode+dispatch, which is the steady-state regime anyway)
     engine.predict_batch(np.repeat(ds[0]["image"][None], 4, axis=0))
-
-    # pipelined: threaded Loader + one-deep device pipeline
-    t0 = time.perf_counter()
-    engine.infer(ds, num_workers=workers)
-    piped = time.perf_counter() - t0
-
-    # serial reference-style loop: load batch → forward → host read
-    t0 = time.perf_counter()
-    batch = []
     for i in range(len(ds)):
-        batch.append(ds[i]["image"])
-        if len(batch) == 4:
-            engine.predict_batch(np.stack(batch))
-            batch.clear()
-    if batch:
-        stack = np.stack(batch)
-        pad = 4 - len(batch)
-        stack = np.concatenate([stack, np.repeat(stack[-1:], pad, 0)])
-        engine.predict_batch(stack)
-    serial = time.perf_counter() - t0
+        ds[i]
+
+    def run_serial():
+        # serial reference-style loop: load batch → forward → host read
+        t0 = time.perf_counter()
+        batch = []
+        for i in range(len(ds)):
+            batch.append(ds[i]["image"])
+            if len(batch) == 4:
+                engine.predict_batch(np.stack(batch))
+                batch.clear()
+        if batch:
+            stack = np.stack(batch)
+            pad = 4 - len(batch)
+            stack = np.concatenate([stack, np.repeat(stack[-1:], pad, 0)])
+            engine.predict_batch(stack)
+        return time.perf_counter() - t0
+
+    def run_piped():
+        t0 = time.perf_counter()
+        engine.infer(ds, num_workers=workers)
+        return time.perf_counter() - t0
+
+    serial = run_serial()
+    piped = run_piped()
 
     print(f"serial   : {serial:6.1f}s  ({n / serial:5.2f} vol/s)")
     print(f"pipelined: {piped:6.1f}s  ({n / piped:5.2f} vol/s)  "

@@ -86,23 +86,35 @@ def main(argv=None):
     url = f"http://127.0.0.1:{srv.server_address[1]}/classify"
     d, h, w = started["expect_shape"]
 
+    # every request ships a DISTINCT volume: the axon relay memoizes
+    # identical (executable, args) dispatches (verify SKILL.md), so a
+    # shared body would let every repeat batch return without executing
+    # and inflate vol/s arbitrarily.  Bodies are pre-encoded before the
+    # timer (float16 payloads halve the ~n×vol_bytes footprint; the
+    # server casts to float32 on decode).
     rng = np.random.default_rng(0)
-    vol = rng.uniform(-1.0, 1.0, (d, h, w)).astype(np.float32)
-    if args.payload == "npy":
-        buf = io.BytesIO()
-        np.save(buf, vol)
-        body = json.dumps(
-            {"volume": base64.b64encode(buf.getvalue()).decode()}).encode()
-    else:
-        body = json.dumps({"volume": vol.tolist()}).encode()
+    base = rng.uniform(-1.0, 1.0, (d, h, w)).astype(np.float16)
 
-    def post():
+    def encode(i):
+        v = base.copy()
+        v.flat[i % v.size] += np.float16(0.25 + (i % 7) * 0.1)
+        if args.payload == "npy":
+            buf = io.BytesIO()
+            np.save(buf, v)
+            return json.dumps({"volume":
+                               base64.b64encode(buf.getvalue()).decode()
+                               }).encode()
+        return json.dumps({"volume": v.astype(np.float32).tolist()}).encode()
+
+    bodies = [encode(i) for i in range(args.requests)]
+
+    def post(body):
         req = urllib.request.Request(
             url, data=body, headers={"Content-Type": "application/json"})
         with urllib.request.urlopen(req) as r:
             return json.loads(r.read())
 
-    post()  # warm the HTTP path (programs are compiled by --warmup)
+    post(encode(args.requests + 1))  # warm the HTTP path
 
     n = args.requests
     counter = {"left": n}
@@ -116,9 +128,10 @@ def main(argv=None):
                 if counter["left"] == 0:
                     return
                 counter["left"] -= 1
+                body = bodies[counter["left"]]
             t0 = time.perf_counter()
             try:
-                post()
+                post(body)
             except Exception as e:  # noqa: BLE001 — tallied, not fatal
                 with lock:
                     failures.append(str(e))

@@ -38,8 +38,10 @@ def main():
 
     model = build_ctclip(
         config, bert_config=bert_cfg,
-        attn_impl=os.environ.get("BENCH_ATTN_IMPL", "pallas_static"),
-        ff_impl=os.environ.get("BENCH_FF_IMPL", "pallas"),
+        # defaults track bench.py's serving defaults (int8) so the trace
+        # profiles the program the headline number runs
+        attn_impl=os.environ.get("BENCH_ATTN_IMPL", "pallas_static_int8"),
+        ff_impl=os.environ.get("BENCH_FF_IMPL", "pallas_int8"),
         fuse_qkv=os.environ.get("BENCH_FUSE_QKV", "1") == "1",
     )
     a = config.arch

@@ -73,7 +73,7 @@ def main():
         },
     }[arch_kind]
     batch = int(os.environ.get("CONV_BATCH", 4))
-    # text 64, not the production 512: this smoke initializes BERT-base
+    # text 16 by default (CONV_TEXT), not the production 512: this smoke initializes BERT-base
     # RANDOMLY (no pretrained weights offline), and a random-init deep
     # transformer rank-collapses over long sequences — at 512 tokens the
     # CLS embedding is the same vector for every input (measured: loss

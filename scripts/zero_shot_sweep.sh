@@ -14,5 +14,12 @@ for ckpt in "$@"; do
   fi
   i=$((i + 1))
 done
+if [ ${#ARGS[@]} -eq 0 ]; then
+  # a shard with no checkpoints must NOT fall through to the CLI's
+  # random-init default (and empty "${ARGS[@]}" errors under set -u
+  # on bash < 4.4)
+  echo "shard $SHARD_INDEX/$NUM_SHARDS: no checkpoints assigned" >&2
+  exit 0
+fi
 exec python -m vit_exp_tpu.cli.run_zero_shot_cls --config "$CONFIG" \
   --results_folder "$RESULTS" "${ARGS[@]}"
