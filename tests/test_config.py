@@ -5,16 +5,6 @@ import glob
 from vit_exp_tpu.core.config import ExperimentConfig, load_config
 
 
-def test_shipped_configs_load():
-    paths = glob.glob("configs/*.yaml")
-    assert len(paths) >= 3
-    for path in paths:
-        cfg = load_config(path)
-        assert cfg.arch.dim > 0
-        assert isinstance(cfg.trainer.lr, float)
-        assert isinstance(cfg.trainer.num_train_steps, int)
-
-
 def test_reference_schema_compat(tmp_path):
     """The reference's v5_1_80g-style schema (SURVEY §2.7) loads unchanged."""
     yaml_text = """

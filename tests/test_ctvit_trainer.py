@@ -17,10 +17,10 @@ def _tiny():
     )
 
 
-def test_ctvit_trainer_steps():
+def test_ctvit_trainer_steps(tmp_path):
     from vit_exp_tpu.train.ctvit_trainer import CTViTTrainer
 
-    trainer = CTViTTrainer(_tiny(), results_folder="/tmp/ctvit_test",
+    trainer = CTViTTrainer(_tiny(), results_folder=str(tmp_path),
                            sample_every=0, gen_steps_per_discr=2,
                            use_perceptual=False)
     video = np.random.default_rng(0).uniform(
@@ -34,13 +34,13 @@ def test_ctvit_trainer_steps():
     assert trainer.step == 2
 
 
-def test_ctvit_trainer_perceptual_default():
+def test_ctvit_trainer_perceptual_default(tmp_path):
     """The VGG perceptual term exists in a runnable default config
     (VERDICT round-1 missing #5): loss combine recon + perceptual + commit
     + λ·gen (ctvit.py:515-519) with the random-feature VGG fallback."""
     from vit_exp_tpu.train.ctvit_trainer import CTViTTrainer
 
-    trainer = CTViTTrainer(_tiny(), results_folder="/tmp/ctvit_test_p",
+    trainer = CTViTTrainer(_tiny(), results_folder=str(tmp_path),
                            sample_every=0, gen_steps_per_discr=3)
     assert trainer.perceptual_fn is not None
     video = np.random.default_rng(1).uniform(

@@ -92,12 +92,13 @@ def test_vocabfine_trains():
     assert last < l0
 
 
-def test_text_classifier_trains_and_evaluates():
+def test_text_classifier_trains_and_evaluates(tmp_path):
     from vit_exp_tpu.text_classifier.classifier import RadBertClassifier
     from vit_exp_tpu.text_classifier.trainer import TextClassifierTrainer
 
     model = RadBertClassifier(BertConfig.tiny(), n_classes=4)
-    trainer = TextClassifierTrainer(model, results_folder="/tmp/tc_test")
+    trainer = TextClassifierTrainer(model,
+                                    results_folder=str(tmp_path / "a"))
     rng = np.random.default_rng(3)
     ids = rng.integers(0, 100, (4, 8))
     mask = np.ones((4, 8), np.int32)
@@ -112,9 +113,10 @@ def test_text_classifier_trains_and_evaluates():
     # back bit-exact
     import os
 
-    path = os.path.join("/tmp/tc_test", "best_model.msgpack")
+    path = os.path.join(str(tmp_path / "a"), "best_model.msgpack")
     assert os.path.exists(path)
-    trainer2 = TextClassifierTrainer(model, results_folder="/tmp/tc_test2")
+    trainer2 = TextClassifierTrainer(model,
+                                     results_folder=str(tmp_path / "b"))
     trainer2.load(path)
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),

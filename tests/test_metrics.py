@@ -59,9 +59,9 @@ def test_retrieval_self_consistency():
     assert r2v["recall_at_k"] >= 0.9
     v2v = volume_to_volume(lat, k=3)
     assert v2v["indices"].shape == (12, 3)
-    # self is excluded
+    # self is excluded from EVERY neighbor slot
     assert not any(i == row_i for row_i, row in enumerate(v2v["indices"])
-                   for i in row[:1]) or True
+                   for i in row)
     labels = (rng.random((12, 4)) > 0.5).astype(np.float32)
     v2v2 = volume_to_volume(lat, k=3, labels=labels)
     assert "label_overlap" in v2v2

@@ -233,10 +233,18 @@ def test_preemption_checkpoint(tmp_path):
         model, config, datasets=datasets,
         mesh_config=MeshConfig(data=-1, fsdp=1, model=1),
     )
-    trainer.install_preemption_handler()
-    # deliver a real signal: handler must only set the flag
-    signal.raise_signal(signal.SIGTERM)
-    trainer.train(num_steps=100)  # returns immediately via the flag
+    prev_term = signal.getsignal(signal.SIGTERM)
+    prev_int = signal.getsignal(signal.SIGINT)
+    try:
+        trainer.install_preemption_handler()
+        # deliver a real signal: handler must only set the flag
+        signal.raise_signal(signal.SIGTERM)
+        trainer.train(num_steps=100)  # returns immediately via the flag
+    finally:
+        # restore: the handler closure would otherwise hijack Ctrl-C /
+        # SIGTERM for the rest of the suite and pin the TrainState
+        signal.signal(signal.SIGTERM, prev_term)
+        signal.signal(signal.SIGINT, prev_int)
     assert trainer.step < 100
     assert trainer.step in trainer.ckpt.all_steps()
 
