@@ -50,18 +50,21 @@ def test_compile_cache_populates_and_respects_env(tmp_path, monkeypatch):
     monkeypatch.delenv("VIT_EXP_NO_COMPILE_CACHE", raising=False)
     try:
         d = str(tmp_path / "xla")
-        assert enable_compilation_cache(d) == d
+        # TPU-only by default: CPU AOT entries are machine-specific and
+        # SIGILL-risky across hosts, so the un-forced call declines here
+        assert enable_compilation_cache(d) is None
+        assert enable_compilation_cache(d, force=True) == d
         float(jax.jit(lambda x: (x * 3).sum())(jnp.ones((256, 256))))
         assert sum(len(f) for _, _, f in os.walk(d)) > 0
 
         monkeypatch.setenv("VIT_EXP_NO_COMPILE_CACHE", "1")
-        assert enable_compilation_cache() is None
+        assert enable_compilation_cache(force=True) is None
         monkeypatch.delenv("VIT_EXP_NO_COMPILE_CACHE")
 
         # upstream env var wins and is applied to jax.config (the var is
         # only read by jax itself at import time)
         monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/elsewhere")
-        assert enable_compilation_cache() == "/elsewhere"
+        assert enable_compilation_cache(force=True) == "/elsewhere"
         assert jax.config.jax_compilation_cache_dir == "/elsewhere"
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)

@@ -125,11 +125,23 @@ def main(argv=None):
                         "for 'all remaining devices' on the data axis); "
                         "overrides the yaml `mesh:` section.  Replaces the "
                         "reference's `accelerate launch` process topology — "
-                        "one process drives the whole mesh")
+                        "one process drives the whole mesh (or one per host "
+                        "on pods, see --coordinator_address)")
+    parser.add_argument("--coordinator_address", default=None,
+                        metavar="HOST:PORT",
+                        help="multihost: jax.distributed coordinator "
+                        "(process 0's address).  With --num_processes/"
+                        "--process_id (or the JAX_* env vars), every host "
+                        "runs this same command and the mesh spans all "
+                        "hosts' devices; each host loads its slice of the "
+                        "global batch")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args(argv)
 
     import jax
 
+    from vit_exp_tpu.core import multihost
     from vit_exp_tpu.core.config import load_config
     from vit_exp_tpu.data.tokenizer import load_tokenizer
     from vit_exp_tpu.models.factory import bert_config_for, build_ctclip
@@ -137,18 +149,25 @@ def main(argv=None):
 
     from vit_exp_tpu.core.compile_cache import enable_compilation_cache
 
+    # before any backend touch: the coordination service must exist before
+    # devices are enumerated (no-op without --coordinator_address / env)
+    multihost.initialize(args.coordinator_address, args.num_processes,
+                         args.process_id)
     enable_compilation_cache()
 
     config = load_config(args.config)
     os.makedirs(config.results_folder, exist_ok=True)
-    # snapshot git state into the exp folder (run_train.py:108-112)
-    try:
-        with open(os.path.join(config.results_folder, "git_state.txt"), "w") as f:
-            for cmd in (["git", "log", "-1"], ["git", "status", "--short"]):
-                f.write(subprocess.run(cmd, capture_output=True,
-                                       text=True).stdout + "\n")
-    except Exception:
-        pass
+    # snapshot git state into the exp folder (run_train.py:108-112);
+    # main process only — hosts share the results tree on pods
+    if multihost.is_main_process():
+        try:
+            with open(os.path.join(config.results_folder,
+                                   "git_state.txt"), "w") as f:
+                for cmd in (["git", "log", "-1"], ["git", "status", "--short"]):
+                    f.write(subprocess.run(cmd, capture_output=True,
+                                           text=True).stdout + "\n")
+        except Exception:
+            pass
 
     np.random.seed(config.random_seed)
 

@@ -19,16 +19,31 @@ from __future__ import annotations
 import os
 
 
-def enable_compilation_cache(path: str | None = None) -> str | None:
+def enable_compilation_cache(path: str | None = None, *,
+                             force: bool = False) -> str | None:
     """Enable the persistent compile cache; returns the dir or None.
 
     Safe to call multiple times and before/after backend init (JAX reads
     the config at compile time).  Never raises: a read-only filesystem or
-    an old jax just leaves caching off.
+    an old jax just leaves caching off.  force=True skips the TPU-only
+    gate (for tests, or a pinned single-machine CPU setup).
     """
     if os.environ.get("VIT_EXP_NO_COMPILE_CACHE"):
         return None
     import jax
+
+    if not force:
+        try:
+            backend = jax.default_backend()
+        except Exception:  # noqa: BLE001 — no backend (e.g. tunnel down)
+            return None
+        if backend != "tpu":
+            # XLA:CPU AOT entries embed the COMPILING machine's feature
+            # set; reloading on a host with different features risks
+            # SIGILL (observed when a shared ~/.cache moved across dev
+            # VMs).  The cache's whole value here is skipping the axon
+            # relay's remote TPU compiles, so scope it to TPU.
+            return None
 
     env_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if env_dir:

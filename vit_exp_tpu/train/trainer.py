@@ -75,17 +75,32 @@ class CTClipTrainer:
         self.rules = logical_rules(self.mesh_cfg)
         self.n_data_shards = self.mesh.shape["data"] * self.mesh.shape["fsdp"]
 
-        # datasets + infinite loaders, one per train_data_list entry
+        # datasets + infinite loaders, one per train_data_list entry.
+        # Multihost: each process loads ONLY its slice of the global batch
+        # (loader index-sharding by process, core/multihost.py); the global
+        # device array is assembled in _device_batch.  Mirrors the
+        # reference's accelerate per-rank DataLoaders (CTCLIPTrainer.py:
+        # 346-393) without the duplicate-ingest of replicating the batch.
+        self.process_count = jax.process_count()
         self.datasets = datasets or []
         self.loaders: List[InfiniteLoader] = []
         for spec, ds in zip(config.train_data_list, self.datasets):
+            global_batch = (
+                int(spec.get("batch_size", 1)) * self.n_data_shards)
+            if global_batch % self.process_count:
+                raise ValueError(
+                    f"global batch {global_batch} (batch_size × data×fsdp "
+                    f"shards) must divide evenly across "
+                    f"{self.process_count} processes")
             loader = Loader(
                 ds,
-                batch_size=int(spec.get("batch_size", 1)) * self.n_data_shards,
+                batch_size=global_batch // self.process_count,
                 shuffle=True,
                 seed=config.random_seed,
                 drop_last=True,
                 num_workers=int(spec.get("num_workers", 4)),
+                shard_id=jax.process_index(),
+                num_shards=self.process_count,
             )
             self.loaders.append(InfiniteLoader(loader))
         self.data_types = [
@@ -125,6 +140,7 @@ class CTClipTrainer:
         self.logger = MetricLogger(
             self.results_folder, project=config.project_name,
             exp_name=config.exp_name,
+            enabled=jax.process_index() == 0,
         )
         self.eval_hooks = eval_hooks or {}
         # sample_val hooks: visual tests every sample_val_every steps
@@ -157,7 +173,14 @@ class CTClipTrainer:
                 sharding = NamedSharding(
                     self.mesh, P(("data", "fsdp"), *([None] * (v.ndim - 1)))
                 )
-            out[k] = jax.device_put(v, sharding)
+            if self.process_count > 1:
+                # v is this process's slice of the global batch (for the
+                # replicated prompt tensors, the full array — every host
+                # loads identical prompts); jax assembles the global array
+                # from per-process shards without any cross-host transfer
+                out[k] = jax.make_array_from_process_local_data(sharding, v)
+            else:
+                out[k] = jax.device_put(v, sharding)
         return out
 
     # -- the loop ------------------------------------------------------------

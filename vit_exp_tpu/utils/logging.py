@@ -20,11 +20,20 @@ class MetricLogger:
         project: str = "vit_exp_tpu",
         exp_name: str = "default",
         use_wandb: bool = True,
+        enabled: bool = True,
     ):
+        """enabled=False makes every method a no-op — multihost trainers
+        pass is_main_process() so non-zero processes run the identical
+        (collective) program without racing on metrics.jsonl / wandb."""
+        self.enabled = enabled
+        self._file = None
+        self._wandb = None
+        if not enabled:
+            self.jsonl_path = os.path.join(results_folder, "metrics.jsonl")
+            return
         os.makedirs(results_folder, exist_ok=True)
         self.jsonl_path = os.path.join(results_folder, "metrics.jsonl")
         self._file = open(self.jsonl_path, "a")
-        self._wandb = None
         if use_wandb:
             try:
                 import wandb
@@ -36,6 +45,8 @@ class MetricLogger:
                 self._wandb = None
 
     def log(self, metrics: Dict, step: Optional[int] = None):
+        if not self.enabled:
+            return
         record = {"_time": time.time()}
         if step is not None:
             record["step"] = int(step)
@@ -50,6 +61,7 @@ class MetricLogger:
             self._wandb.log(metrics, step=step)
 
     def close(self):
-        self._file.close()
+        if self._file is not None:
+            self._file.close()
         if self._wandb is not None:
             self._wandb.finish()
