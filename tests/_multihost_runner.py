@@ -82,12 +82,28 @@ def main():
     logs = trainer.train_step()
     losses = {k: float(v) for k, v in logs.items()}
 
+    # eval engine over the SAME cross-host mesh: volumes shard over all 8
+    # devices, outputs come back replicated (replicated_out) so every
+    # process can read the full probability matrix
+    import numpy as np
+
+    from vit_exp_tpu.eval.zero_shot import ZeroShotClassifier
+
+    engine = ZeroShotClassifier(
+        model, trainer.state.params, tok, batch_size=1, mesh=trainer.mesh,
+        max_text_len=12)
+    vols = np.stack([datasets[0][i]["image"] for i in range(8)])
+    probs = engine.predict_batch(vols)
+    assert probs.shape == (8, 18)
+
     out = {
         "process": pid,
         "step": trainer.step,
         "losses": losses,
         "logger_enabled": trainer.logger.enabled,
         "ckpt_latest": trainer.ckpt.latest_step(),
+        "probs_sum": float(probs.sum()),
+        "probs_first": [float(x) for x in probs[0]],
     }
     with open(os.path.join(workdir, f"proc{pid}.json"), "w") as f:
         json.dump(out, f)

@@ -76,3 +76,6 @@ def test_two_process_training(tmp_path):
     assert v1["logger_enabled"] is False
     metrics = tmp_path / "results" / "metrics.jsonl"
     assert metrics.exists()
+    # eval engine over the cross-host mesh: identical replicated probs
+    assert v0["probs_sum"] == pytest.approx(v1["probs_sum"], abs=1e-5)
+    assert v0["probs_first"] == pytest.approx(v1["probs_first"], abs=1e-6)

@@ -38,7 +38,11 @@ def main(argv=None):
                         help="shard encoding over a device mesh, e.g. "
                         "8,1,1 (-1 = all remaining devices).  Default: "
                         "single device")
+    from vit_exp_tpu.core import multihost
+
+    multihost.add_cli_args(parser)
     args = parser.parse_args(argv)
+    multihost.initialize_from_args(args)
 
     import flax.linen as nn
     import jax
@@ -107,19 +111,23 @@ def main(argv=None):
     engine = ZeroShotClassifier(model, params, tokenizer,
                                 batch_size=args.batch_size, mesh=mesh)
     out = dump_latents(engine, dataset, args.results_folder)
+    write = multihost.is_main_process()  # all compute, p0 writes/prints
     summary = {"n": int(out["image_latents"].shape[0])}
     if args.retrieval in ("volume", "both"):
         v2v = volume_to_volume(out["image_latents"], k=args.topk)
-        np.savez(f"{args.results_folder}/volume_to_volume.npz",
-                 **{k: v for k, v in v2v.items()})
+        if write:
+            np.savez(f"{args.results_folder}/volume_to_volume.npz",
+                     **{k: v for k, v in v2v.items()})
         summary["v2v_mean_top1_sim"] = float(v2v["similarities"][:, 0].mean())
     if args.retrieval in ("report", "both"):
         r2v = report_to_volume(out["text_latents"], out["image_latents"],
                                k=args.topk)
-        np.savez(f"{args.results_folder}/report_to_volume.npz",
-                 indices=r2v["indices"], similarities=r2v["similarities"])
+        if write:
+            np.savez(f"{args.results_folder}/report_to_volume.npz",
+                     indices=r2v["indices"], similarities=r2v["similarities"])
         summary["report_to_volume_recall_at_k"] = r2v["recall_at_k"]
-    print(json.dumps(summary))
+    if write:
+        print(json.dumps(summary))
 
 
 if __name__ == "__main__":

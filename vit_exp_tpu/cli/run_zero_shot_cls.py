@@ -78,7 +78,11 @@ def main(argv=None):
                         "(-1 = all remaining devices): volumes split over "
                         "the data/fsdp axes, global batch = batch_size x "
                         "shards.  Default: single device")
+    from vit_exp_tpu.core import multihost
+
+    multihost.add_cli_args(parser)
     args = parser.parse_args(argv)
+    multihost.initialize_from_args(args)
 
     import jax
 
@@ -161,9 +165,14 @@ def main(argv=None):
             )
         else:
             engine.set_params(params)
-        out = os.path.join(args.results_folder, tag)
+        # multihost: every process computes the identical (replicated)
+        # scores; only process 0 writes the artifacts
+        out = (os.path.join(args.results_folder, tag)
+               if multihost.is_main_process() else None)
         res = engine.infer(dataset, results_folder=out)
-        print(json.dumps({"model": tag, **{k: v for k, v in res.items()}}))
+        if multihost.is_main_process():
+            print(json.dumps(
+                {"model": tag, **{k: v for k, v in res.items()}}))
 
 
 if __name__ == "__main__":

@@ -34,7 +34,11 @@ def main(argv=None):
                         help="shard eval over a device mesh, e.g. 8,1,1 "
                         "(-1 = all remaining devices): volumes/masks split "
                         "over the data/fsdp axes.  Default: single device")
+    from vit_exp_tpu.core import multihost
+
+    multihost.add_cli_args(parser)
     args = parser.parse_args(argv)
+    multihost.initialize_from_args(args)
 
     import flax.linen as nn
     import jax
@@ -97,8 +101,13 @@ def main(argv=None):
     mesh = mesh_from_cli(config, args.mesh)
     engine = ZeroShotSegmenter(model, params, batch_size=args.batch_size,
                                mesh=mesh)
-    res = engine.infer(dataset, results_folder=args.results_folder)
-    print(json.dumps(res))
+    # multihost: all processes run the collective dice programs; p0 writes
+    res = engine.infer(
+        dataset,
+        results_folder=(args.results_folder
+                        if multihost.is_main_process() else None))
+    if multihost.is_main_process():
+        print(json.dumps(res))
 
 
 if __name__ == "__main__":

@@ -46,6 +46,27 @@ def initialize(
     return True
 
 
+def add_cli_args(parser):
+    """Attach the standard multihost flags (shared by train + eval CLIs)."""
+    parser.add_argument("--coordinator_address", default=None,
+                        metavar="HOST:PORT",
+                        help="multihost: jax.distributed coordinator "
+                        "(process 0's address).  With --num_processes/"
+                        "--process_id (or the JAX_* env vars), run the "
+                        "same command once per host and the mesh spans "
+                        "all hosts' devices")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
+    return parser
+
+
+def initialize_from_args(args) -> bool:
+    """initialize() from the add_cli_args flags; call BEFORE any backend
+    touch (device enumeration pins the topology)."""
+    return initialize(args.coordinator_address, args.num_processes,
+                      args.process_id)
+
+
 def is_main_process() -> bool:
     return jax.process_index() == 0
 

@@ -24,16 +24,17 @@ def _jit_image_latents(engine):
 
     from vit_exp_tpu.models.ctclip import CTCLIP
 
+    from vit_exp_tpu.eval.zero_shot import replicated_out
+
     model = engine.model
 
-    @jax.jit
     def fn(params, video):
         tokens = model.apply({"params": params}, video,
                              method=CTCLIP.encode_image_tokens)
         return model.apply({"params": params}, tokens,
                            method=CTCLIP.image_latents_from_tokens)
 
-    return fn
+    return jax.jit(fn, **replicated_out(engine.mesh))
 
 
 def dump_latents(
@@ -47,6 +48,7 @@ def dump_latents(
     """Encode every sample once; save latents + accessions npz.  Batched
     into jitted programs of engine.batch_size with the eval engines'
     load/compute/read pipelining."""
+    import jax
     import jax.numpy as jnp
 
     from vit_exp_tpu.eval.zero_shot import (_one_deep_map,
@@ -83,9 +85,12 @@ def dump_latents(
         "image_latents": np.stack(image_latents),
         "text_latents": np.stack(text_latents),
     }
-    np.savez(os.path.join(out_folder, "latents.npz"), **out)
-    with open(os.path.join(out_folder, "accessions.txt"), "w") as f:
-        f.writelines(a + "\n" for a in accessions)
+    # multihost: every process ran the (collective) programs and holds the
+    # identical replicated latents; only process 0 writes
+    if jax.process_index() == 0:
+        np.savez(os.path.join(out_folder, "latents.npz"), **out)
+        with open(os.path.join(out_folder, "accessions.txt"), "w") as f:
+            f.writelines(a + "\n" for a in accessions)
     out["accessions"] = accessions
     return out
 
@@ -140,15 +145,17 @@ def dump_encodings(engine, dataset, out_folder: str, *, limit=None,
     import jax.numpy as jnp
 
     from vit_exp_tpu.eval.zero_shot import (_one_deep_map,
+                                            replicated_out,
                                             shard_batch)
     from vit_exp_tpu.models.ctclip import CTCLIP
 
     model = engine.model
 
-    @jax.jit
-    def encode(params, video):
+    def _encode(params, video):
         return model.apply({"params": params}, video,
                            method=CTCLIP.encode_image_tokens)
+
+    encode = jax.jit(_encode, **replicated_out(engine.mesh))
 
     os.makedirs(out_folder, exist_ok=True)
     n = min(len(dataset), limit) if limit else len(dataset)
@@ -165,13 +172,15 @@ def dump_encodings(engine, dataset, out_folder: str, *, limit=None,
         seen[0] += k
         return tokens, k, accs
 
+    write = jax.process_index() == 0  # multihost: p0 writes, all compute
     for tokens, k, accs in _one_deep_map(dataset, n, bs, dispatch,
                                          num_workers=num_workers):
         host = np.asarray(tokens[:k], np.float32)
         for row, acc in zip(host, accs):
             path = os.path.join(out_folder,
                                 f"{acc.replace('/', '_')}.encodings.npz")
-            np.savez(path, row)
+            if write:
+                np.savez(path, row)
             paths.append(path)
     return paths
 

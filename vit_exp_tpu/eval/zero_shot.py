@@ -103,16 +103,41 @@ def _one_deep_map(dataset, n: int, batch_size: int, dispatch, *,
         yield pending
 
 
+def replicated_out(mesh) -> Dict:
+    """jax.jit kwargs pinning every output replicated over `mesh` — {} when
+    mesh is None.  Engine outputs are tiny (probs, dice rows, latents);
+    replicating them is free single-host and REQUIRED multihost: a
+    batch-sharded output spans non-addressable devices, so the host-side
+    np.asarray read would raise.  The all-gather compiles into the
+    program."""
+    if mesh is None:
+        return {}
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return {"out_shardings": NamedSharding(mesh, P())}
+
+
 def shard_batch(mesh, v: jnp.ndarray) -> jnp.ndarray:
     """Shard a leading-batch-dim array over a mesh's (data, fsdp) axes;
     identity when mesh is None.  Shared by both engines and the latents
-    tooling so the partition spec lives in exactly one place."""
+    tooling so the partition spec lives in exactly one place.
+
+    Multihost: `v` is the full GLOBAL batch (every host loads the same
+    eval data — duplicate ingest is fine for eval, and it keeps AUROC /
+    dice bit-identical on every process); only this host's addressable
+    shards materialize on device."""
     if mesh is None:
         return v
+    import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    return jax.device_put(
-        v, NamedSharding(mesh, P(("data", "fsdp"), *([None] * (v.ndim - 1)))))
+    sharding = NamedSharding(
+        mesh, P(("data", "fsdp"), *([None] * (v.ndim - 1))))
+    if jax.process_count() > 1:
+        arr = np.asarray(v)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx])
+    return jax.device_put(v, sharding)
 
 
 def _pad_tail(batch: Dict, batch_size: int, key: str):
@@ -159,14 +184,12 @@ class ZeroShotClassifier:
             batch_size = batch_size * shards
         self.batch_size = batch_size
 
-        @jax.jit
         def _text_latents(params, ids, mask):
             hidden = model.apply({"params": params}, ids, mask,
                                  method=CTCLIP.encode_text_hidden)
             return model.apply({"params": params}, hidden,
                                method=CTCLIP.text_latents_from_hidden)
 
-        @jax.jit
         def _probs(params, video, text_latents):
             tokens = model.apply({"params": params}, video,
                                  method=CTCLIP.encode_image_tokens)
@@ -177,8 +200,9 @@ class ZeroShotClassifier:
             pairs = scores.reshape(img.shape[0], len(self.pathologies), 2)
             return jax.nn.softmax(pairs, axis=-1)[..., 0]
 
-        self._text_latents_fn = _text_latents
-        self._probs_fn = _probs
+        self._text_latents_fn = jax.jit(_text_latents,
+                                        **replicated_out(mesh))
+        self._probs_fn = jax.jit(_probs, **replicated_out(mesh))
         self._cached_text = None
 
     def set_params(self, params):
@@ -284,7 +308,6 @@ class ZeroShotSegmenter:
             batch_size *= mesh.shape.get("data", 1) * mesh.shape.get("fsdp", 1)
         self.batch_size = batch_size
 
-        @jax.jit
         def _dice(params, video, seg_mask):
             from vit_exp_tpu.models.losses import dice_scores_per_sample
 
@@ -292,7 +315,7 @@ class ZeroShotSegmenter:
                                  method=CTCLIP.seg_forward)
             return dice_scores_per_sample(logits, seg_mask)
 
-        self._dice_fn = _dice
+        self._dice_fn = jax.jit(_dice, **replicated_out(mesh))
 
     def set_params(self, params):
         """Swap weights without rebuilding (no recompiles — see
