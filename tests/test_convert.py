@@ -499,3 +499,164 @@ def test_convert_legacy_ctvit_state_dict():
         converted, video, return_encoded_tokens=False, return_recons=True)
     assert recon.shape == video.shape
     assert np.isfinite(np.asarray(recon)).all()
+
+
+# ---------------------------------------------------------------------------
+# Reverse conversion: flax params → reference CTClip.{step}.pt layout
+# (models/convert.export_ctclip_state_dict).  Together with the import
+# tests above this proves the mapping is a BIJECTION on the derived keys —
+# the strongest conversion guarantee available without real weights.
+
+
+def _toy_bert_config():
+    s = TOY
+    return BertConfig(vocab_size=s.vocab, hidden_size=s.dim,
+                      num_hidden_layers=2, num_attention_heads=2,
+                      intermediate_size=32, max_position_embeddings=32,
+                      type_vocab_size=2)
+
+
+def test_export_roundtrip_bitexact():
+    """torch → flax → torch round trip: with `like` pinning the key set
+    to the original's, every key comes back BIT-identical (derived keys
+    invert exactly: .T∘.T; the rest pass through)."""
+    from vit_exp_tpu.models.convert import export_ctclip_state_dict
+
+    s = TOY
+    *_, params, sd = _build_pair(s)
+    out = export_ctclip_state_dict(params, grid=s.grid, heads=s.heads,
+                                   bert_config=_toy_bert_config(), like=sd)
+    assert set(out) == set(sd)
+    for k, v in sd.items():
+        ref = v.detach().cpu().numpy() if hasattr(v, "detach") else v
+        np.testing.assert_array_equal(
+            out[k], np.asarray(ref), err_msg=k)
+
+
+def test_export_reimport_identity_and_strict_surface():
+    """Without `like`: re-importing the export reproduces the flax tree
+    exactly, and the export carries every reference-registered key the
+    strict load needs (ct_clip.py:771 load_state_dict): gamma-only-LN
+    beta buffers, the unused context_norm, the regenerated pos_embed
+    buffer, CTViT3D's dead modules, the unconditional *_extra deepcopies
+    (ct_clip.py:644-647) and the BERT pooler."""
+    from vit_exp_tpu.models.convert import (convert_ctclip_state_dict,
+                                            export_ctclip_state_dict)
+
+    s = TOY
+    bc = _toy_bert_config()
+    *_, params, _ = _build_pair(s)
+    out = export_ctclip_state_dict(params, grid=s.grid, heads=s.heads,
+                                   bert_config=bc)
+
+    v = "visual_transformer."
+    for key in (
+        v + "pos_embed",
+        v + "enc_3D.layers.0.1.norm.beta",
+        v + "enc_3D.layers.0.1.context_norm.gamma",
+        v + "enc_3D.layers.0.1.context_norm.beta",
+        v + "enc_3D.norm_out.beta",
+        v + "spatial_rel_pos_bias.net.0.0.weight",
+        v + "spatial_rel_pos_bias.net.2.bias",
+        v + "to_pixels.0.weight",
+        "to_text_latent_extra.weight",
+        "to_visual_latent_extra.weight",
+        "text_transformer.pooler.dense.weight",
+    ):
+        assert key in out, key
+    np.testing.assert_array_equal(
+        out[v + "pos_embed"], sincos_pos_embed_3d(s.dim, s.grid)[None])
+    np.testing.assert_array_equal(out["to_visual_latent_extra.weight"],
+                                  out["to_visual_latent.weight"])
+    assert out[v + "spatial_rel_pos_bias.net.0.0.weight"].shape == (
+        s.dim, 2)
+    assert out[v + "spatial_rel_pos_bias.net.2.weight"].shape == (
+        s.heads, s.dim)
+    patch_dim = s.pt * s.p * s.p
+    assert out[v + "to_pixels.0.weight"].shape == (patch_dim, s.dim)
+
+    params2 = convert_ctclip_state_dict(out, transformer_blocks=s.blocks,
+                                        bert_config=bc)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        params, params2)
+
+
+def test_export_bert_strict_torch_load():
+    """The exported text subtree strict-loads into a REAL HF torch
+    BertModel (pooler included) — the exact module the reference
+    registers as text_transformer (run_train.py:129-131)."""
+    from vit_exp_tpu.models.convert import export_bert_state_dict
+
+    s = TOY
+    bc = _toy_bert_config()
+    *_, params, _ = _build_pair(s)
+    hf_cfg = transformers.BertConfig(
+        vocab_size=s.vocab, hidden_size=s.dim, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=32, type_vocab_size=2, hidden_act="gelu")
+    hf = transformers.BertModel(hf_cfg, add_pooling_layer=True)
+    want = set(hf.state_dict().keys())
+
+    exported = export_bert_state_dict(params["text_transformer"], bc,
+                                      pooler=True, buffers=True)
+    # this HF version decides which embeddings buffers live in state_dict
+    for buf in ("embeddings.position_ids", "embeddings.token_type_ids"):
+        if buf not in want:
+            exported.pop(buf, None)
+    assert set(exported) == want
+    hf.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in exported.items()}, strict=True)
+
+
+def test_export_checkpoint_cli_full_circle(tmp_path):
+    """pt → convert_checkpoint CLI → orbax → export_checkpoint CLI → pt:
+    the final file loads with the reference's unconditional 7-char strip
+    (ct_clip.py:771) and every original key is bit-identical."""
+    import yaml
+
+    from vit_exp_tpu.cli.convert_checkpoint import main as convert_main
+    from vit_exp_tpu.cli.export_checkpoint import main as export_main
+
+    s = TOY
+    *_, params, sd = _build_pair(s)
+    pt_path = tmp_path / "CTClip.777.pt"
+    torch.save({f"module.{k}": v for k, v in sd.items()}, pt_path)
+
+    cfg = {
+        "results_folder": str(tmp_path / "out"),
+        "trainer": {"lr": 1e-4},
+        "arch": {"dim": s.dim, "image_size": s.img, "patch_size": s.p,
+                 "temporal_size": s.t, "temporal_patch_size": s.pt,
+                 "transformer_blocks": s.blocks, "dim_head": s.dh,
+                 "heads": s.heads},
+        "text_encoder": {"hidden_size": s.dim, "num_hidden_layers": 2,
+                         "num_attention_heads": 2, "intermediate_size": 32,
+                         "max_position_embeddings": 32},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    vocab_path = tmp_path / "vocab.txt"
+    vocab_path.write_text("\n".join(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+        + [f"tok{i}" for i in range(TOY.vocab - 5)]))
+
+    out_dir = tmp_path / "ckpts"
+    convert_main(["--config", str(cfg_path), "--torch_ckpt", str(pt_path),
+                  "--out", str(out_dir), "--vocab", str(vocab_path)])
+
+    back_path = tmp_path / "CTClip.exported.777.pt"
+    export_main(["--config", str(cfg_path),
+                 "--ckpt", str(out_dir / "ckpt_777"),
+                 "--out", str(back_path), "--vocab", str(vocab_path),
+                 "--like", str(pt_path)])
+
+    back = torch.load(back_path, map_location="cpu", weights_only=True)
+    # reference load semantics: unconditional k[7:] strip
+    stripped = {k[7:]: v for k, v in back.items()}
+    assert set(stripped) == set(sd)
+    for k, v in sd.items():
+        np.testing.assert_array_equal(
+            stripped[k].numpy(), v.detach().cpu().numpy(), err_msg=k)

@@ -125,6 +125,218 @@ def load_ctclip_checkpoint(path: str, **kwargs) -> Dict[str, Any]:
     return convert_ctclip_state_dict(sd, **kwargs)
 
 
+def _t(x):
+    """flax kernel (in, out) → torch Linear weight (out, in), fp32 numpy."""
+    return np.ascontiguousarray(_np(x).astype(np.float32).T)
+
+
+def _f(x):
+    return np.asarray(_np(x), np.float32)
+
+
+def export_bert_state_dict(
+    text_params: Dict[str, Any],
+    config: BertConfig,
+    *,
+    pooler: bool = True,
+    buffers: bool = False,
+) -> Dict[str, Any]:
+    """Reverse of models/bert.convert_hf_bert_params: our BertModel param
+    tree → an HF torch BertModel state_dict (keys WITHOUT any leading
+    'bert.'), numpy fp32 values.
+
+    The reference text tower is `BertModel.from_pretrained(...)`
+    (run_train.py:129-131), so its checkpoints carry a pooler our tree
+    doesn't have — `pooler=True` emits zero pooler weights (the pooler is
+    unused by every CTCLIP path; ct_clip.py:1271 takes hidden states).
+    `buffers=True` additionally emits the `embeddings.position_ids` /
+    `embeddings.token_type_ids` buffers (arange / zeros) that OLDER HF
+    versions keep in state_dict — off by default because newer HF rejects
+    them as unexpected keys under strict load.
+    """
+    p = text_params
+
+    def linear(prefix, tree):
+        return {prefix + ".weight": _t(tree["kernel"]),
+                prefix + ".bias": _f(tree["bias"])}
+
+    def ln(prefix, tree):
+        return {prefix + ".weight": _f(tree["gamma"]),
+                prefix + ".bias": _f(tree["beta"])}
+
+    out: Dict[str, Any] = {
+        "embeddings.word_embeddings.weight": _f(p["word_embeddings"]),
+        "embeddings.position_embeddings.weight": _f(
+            p["position_embeddings"]),
+        "embeddings.token_type_embeddings.weight": _f(
+            p["token_type_embeddings"]),
+        **ln("embeddings.LayerNorm", p["emb_norm"]),
+    }
+    if buffers:
+        out["embeddings.position_ids"] = np.arange(
+            config.max_position_embeddings, dtype=np.int64)[None]
+        out["embeddings.token_type_ids"] = np.zeros(
+            (1, config.max_position_embeddings), np.int64)
+    for i in range(config.num_hidden_layers):
+        q = f"encoder.layer.{i}"
+        lp = p[f"layer{i}"]
+        out.update(linear(q + ".attention.self.query",
+                          lp["self_attn"]["query"]))
+        out.update(linear(q + ".attention.self.key",
+                          lp["self_attn"]["key"]))
+        out.update(linear(q + ".attention.self.value",
+                          lp["self_attn"]["value"]))
+        out.update(linear(q + ".attention.output.dense", lp["attn_out"]))
+        out.update(ln(q + ".attention.output.LayerNorm", lp["attn_norm"]))
+        out.update(linear(q + ".intermediate.dense", lp["intermediate"]))
+        out.update(linear(q + ".output.dense", lp["output"]))
+        out.update(ln(q + ".output.LayerNorm", lp["out_norm"]))
+    if pooler:
+        h = config.hidden_size
+        out["pooler.dense.weight"] = np.zeros((h, h), np.float32)
+        out["pooler.dense.bias"] = np.zeros((h,), np.float32)
+    return out
+
+
+def export_ctclip_state_dict(
+    params: Dict[str, Any],
+    *,
+    grid: tuple,
+    heads: int,
+    bert_config: BertConfig | None = None,
+    like: Dict[str, Any] | None = None,
+    bert_buffers: bool = False,
+) -> Dict[str, Any]:
+    """Inverse of convert_ctclip_state_dict: our flax params → the
+    reference CTClip.{step}.pt state_dict layout (numpy fp32 values;
+    torch.save-able via save_ctclip_checkpoint).
+
+    The reference loads with a STRICT load_state_dict (ct_clip.py:760-774),
+    so beyond the inverse of the import mapping this emits every key a
+    reference CTCLIP(CTViT3D, BertModel) registers but our tree doesn't
+    carry, with reference-init values:
+
+    - `visual_transformer.pos_embed` — the fixed sincos buffer,
+      regenerated bit-identically (ctvit3d.py:278-280);
+    - per-block `norm.beta` / `context_norm.{gamma,beta}` and
+      `enc_3D.norm_out.beta` — the gamma-only LayerNorm's zero-beta
+      buffer (attention.py:34-41) and the unused self-attn context norm
+      (attention.py:215, context is always None in enc_3D);
+    - `spatial_rel_pos_bias.*` / `to_pixels.0.*` — modules CTViT3D
+      instantiates but the encode path never runs (ctvit3d.py:227,273);
+      zero-filled unless `like` supplies originals;
+    - `to_text_latent_extra` / `to_visual_latent_extra` — the
+      unconditional deepcopies (ct_clip.py:644-647): mirrored from the
+      non-extra projections, matching deepcopy-at-init semantics;
+    - the BERT pooler (see export_bert_state_dict).
+
+    `grid` is the token grid (n_t, n_h, n_w); `like` (an original
+    reference state dict) passes through any key this export can't
+    derive and pins the emitted key SET to the reference's exactly —
+    use it when round-tripping a converted checkpoint.
+    """
+    from vit_exp_tpu.ops.posemb import sincos_pos_embed_3d
+
+    bert_config = bert_config or BertConfig()
+    visual = params["visual"]
+    dim = _np(visual["norm_out"]["gamma"]).shape[0]
+
+    def lin(prefix, tree, bias=True):
+        out = {prefix + ".weight": _t(tree["kernel"])}
+        if bias:
+            out[prefix + ".bias"] = _f(tree["bias"])
+        return out
+
+    def ln(prefix, tree):
+        return {prefix + ".weight": _f(tree["gamma"]),
+                prefix + ".bias": _f(tree["beta"])}
+
+    sd: Dict[str, Any] = {}
+    v = "visual_transformer."
+    sd.update(ln(v + "to_patch_emb.1", visual["patch_norm_in"]))
+    sd.update(lin(v + "to_patch_emb.2", visual["patch_proj"]))
+    sd.update(ln(v + "to_patch_emb.3", visual["patch_norm_out"]))
+    sd[v + "pos_embed"] = sincos_pos_embed_3d(dim, tuple(grid))[None]
+
+    n_blocks = sum(1 for k in visual if k.startswith("block"))
+    for i in range(n_blocks):
+        blk = visual[f"block{i}"]
+        a = f"{v}enc_3D.layers.{i}.1"
+        f = f"{v}enc_3D.layers.{i}.3"
+        attn, ff = blk["attn"], blk["ff"]
+        sd[a + ".norm.gamma"] = _f(attn["norm"]["gamma"])
+        sd[a + ".norm.beta"] = np.zeros((dim,), np.float32)
+        sd[a + ".context_norm.gamma"] = np.ones((dim,), np.float32)
+        sd[a + ".context_norm.beta"] = np.zeros((dim,), np.float32)
+        sd[a + ".null_kv"] = _f(attn["null_kv"])
+        sd.update(lin(a + ".to_q", attn["to_q"], bias=False))
+        sd.update(lin(a + ".to_kv", attn["to_kv"], bias=False))
+        sd[a + ".q_scale"] = _f(attn["q_scale"])
+        sd[a + ".k_scale"] = _f(attn["k_scale"])
+        sd.update(lin(a + ".to_out", attn["to_out"], bias=False))
+        sd.update(ln(f + ".0", ff["norm"]))
+        sd.update(lin(f + ".1", ff["wi"], bias=False))
+        sd.update(lin(f + ".4", ff["wo"], bias=False))
+    sd[v + "enc_3D.norm_out.gamma"] = _f(visual["norm_out"]["gamma"])
+    sd[v + "enc_3D.norm_out.beta"] = np.zeros((dim,), np.float32)
+
+    # modules the encode path never runs (zero-filled; `like` overrides):
+    # ContinuousPositionBias net = Linear(2,dim), Linear(dim,dim),
+    # Linear(dim,heads) (attention.py:350-359) and the to_pixels head
+    patch_dim = _np(visual["patch_proj"]["kernel"]).shape[0]
+    rel = v + "spatial_rel_pos_bias.net."
+    for key, shape in (
+        (rel + "0.0.weight", (dim, 2)), (rel + "0.0.bias", (dim,)),
+        (rel + "1.0.weight", (dim, dim)), (rel + "1.0.bias", (dim,)),
+        (rel + "2.weight", (heads, dim)), (rel + "2.bias", (heads,)),
+        (v + "to_pixels.0.weight", (patch_dim, dim)),
+        (v + "to_pixels.0.bias", (patch_dim,)),
+    ):
+        sd[key] = np.zeros(shape, np.float32)
+
+    for k, val in export_bert_state_dict(
+            params["text_transformer"], bert_config,
+            buffers=bert_buffers).items():
+        sd["text_transformer." + k] = val
+
+    sd["to_text_latent.weight"] = _t(params["to_text_latent"]["kernel"])
+    sd["to_visual_latent.weight"] = _t(params["to_visual_latent"]["kernel"])
+    sd["to_text_latent_extra.weight"] = sd["to_text_latent.weight"].copy()
+    sd["to_visual_latent_extra.weight"] = (
+        sd["to_visual_latent.weight"].copy())
+    sd["temperature"] = _f(params["temperature"])
+
+    for head in ("seg_head", "open_seg_head", "open_text_head",
+                 "fusion_head"):
+        if head in params:
+            for i in sorted(int(k[2:]) for k in params[head]):
+                sd.update(lin(f"{head}.{2 * i}", params[head][f"fc{i}"]))
+
+    if like is not None:
+        like = _strip_module(like)
+        for k, val in like.items():
+            if k not in sd:
+                arr = _np(val)
+                sd[k] = (arr.astype(np.float32)
+                         if np.issubdtype(arr.dtype, np.floating) else arr)
+        sd = {k: sd[k] for k in like}  # pin the reference's exact key set
+    return sd
+
+
+def save_ctclip_checkpoint(path: str, params: Dict[str, Any],
+                           **kwargs) -> None:
+    """export_ctclip_state_dict + torch.save as a CTClip.{step}.pt the
+    reference's `clip.load` consumes.  Keys are saved WITH the 'module.'
+    prefix: the reference load strips the first 7 characters of every key
+    UNCONDITIONALLY (`{k[7:]: v}`, ct_clip.py:771), so an unprefixed file
+    would be mangled — the prefix is mandatory, not cosmetic."""
+    import torch
+
+    sd = {"module." + k: torch.from_numpy(np.ascontiguousarray(v).copy())
+          for k, v in export_ctclip_state_dict(params, **kwargs).items()}
+    torch.save(sd, path)
+
+
 def _ctvit_stack(sd, prefix: str, depth: int) -> Dict[str, Any]:
     """One reference Transformer (attention.py:386-452, the NAIVE path
     ctvit.py:177-187 uses: [PEG, Attention, cross=None, FeedForward]) →
