@@ -89,9 +89,8 @@ def main(argv=None):
     # every request ships a DISTINCT volume: the axon relay memoizes
     # identical (executable, args) dispatches (verify SKILL.md), so a
     # shared body would let every repeat batch return without executing
-    # and inflate vol/s arbitrarily.  Bodies are pre-encoded before the
-    # timer (float16 payloads halve the ~n×vol_bytes footprint; the
-    # server casts to float32 on decode).
+    # and inflate vol/s arbitrarily.  (float16 payloads halve the body
+    # bytes; the server casts to float32 on decode.)
     rng = np.random.default_rng(0)
     base = rng.uniform(-1.0, 1.0, (d, h, w)).astype(np.float16)
 
@@ -106,7 +105,10 @@ def main(argv=None):
                                }).encode()
         return json.dumps({"volume": v.astype(np.float32).tolist()}).encode()
 
-    bodies = [encode(i) for i in range(args.requests)]
+    # bodies are encoded lazily PER CLIENT, outside each request's timer:
+    # pre-encoding all of them holds ~n×body bytes at once (~7 GB for 48
+    # production-shape npy requests, far worse for --payload list); lazy
+    # encoding caps the footprint at ~n_clients×body bytes
 
     def post(body):
         req = urllib.request.Request(
@@ -128,7 +130,8 @@ def main(argv=None):
                 if counter["left"] == 0:
                     return
                 counter["left"] -= 1
-                body = bodies[counter["left"]]
+                i = counter["left"]
+            body = encode(i)  # distinct volume per request, untimed
             t0 = time.perf_counter()
             try:
                 post(body)

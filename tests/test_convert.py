@@ -583,6 +583,57 @@ def test_export_reimport_identity_and_strict_surface():
         params, params2)
 
 
+def test_export_like_overrides_synthesized_keys():
+    """`like` is ground truth for the keys the export merely synthesizes
+    (dead modules, pooler, *_extra deepcopies, reference-init LN
+    buffers): a real checkpoint's values for those keys must survive the
+    round trip instead of being shadowed by the zero/mirror fills — e.g.
+    a reference user running the decode path needs the ORIGINAL to_pixels
+    weights back, and a real *_latent_extra holds its own random init,
+    not a mirror of the trained projection."""
+    from vit_exp_tpu.models.convert import export_ctclip_state_dict
+
+    s = TOY
+    bc = _toy_bert_config()
+    *_, params, _ = _build_pair(s)
+    base = export_ctclip_state_dict(params, grid=s.grid, heads=s.heads,
+                                    bert_config=bc)
+
+    v = "visual_transformer."
+    synth_keys = [
+        v + "pos_embed",
+        v + "enc_3D.layers.0.1.norm.beta",
+        v + "enc_3D.layers.0.1.context_norm.gamma",
+        v + "enc_3D.layers.1.1.context_norm.beta",
+        v + "enc_3D.norm_out.beta",
+        v + "spatial_rel_pos_bias.net.0.0.weight",
+        v + "spatial_rel_pos_bias.net.1.0.bias",
+        v + "spatial_rel_pos_bias.net.2.weight",
+        v + "to_pixels.0.weight",
+        v + "to_pixels.0.bias",
+        "to_text_latent_extra.weight",
+        "to_visual_latent_extra.weight",
+        "text_transformer.pooler.dense.weight",
+        "text_transformer.pooler.dense.bias",
+    ]
+    rng = np.random.default_rng(7)
+    like = {k: np.asarray(val).copy() for k, val in base.items()}
+    for k in synth_keys:
+        like[k] = rng.normal(size=like[k].shape).astype(np.float32)
+
+    out = export_ctclip_state_dict(params, grid=s.grid, heads=s.heads,
+                                   bert_config=bc, like=like)
+    assert set(out) == set(like)
+    for k in synth_keys:
+        np.testing.assert_array_equal(out[k], like[k], err_msg=k)
+    # derived keys still come from params, not from `like`
+    np.testing.assert_array_equal(out["to_text_latent.weight"],
+                                  base["to_text_latent.weight"])
+    np.testing.assert_array_equal(
+        out[v + "enc_3D.layers.0.1.norm.gamma"],
+        base[v + "enc_3D.layers.0.1.norm.gamma"])
+
+
 def test_export_bert_strict_torch_load():
     """The exported text subtree strict-loads into a REAL HF torch
     BertModel (pooler included) — the exact module the reference

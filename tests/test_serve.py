@@ -177,22 +177,39 @@ def test_concurrent_classify_matches_sequential(server):
 
 
 def test_micro_batcher_coalesces_pads_and_propagates_errors():
-    """Dispatcher behavior isolated from HTTP: a slow fake engine forces
-    queueing, so 6 concurrent requests arrive in <=2 dispatches with the
-    3-item batch padded to max_batch; engine failures reach every waiter."""
+    """Dispatcher behavior isolated from HTTP: the engine HOLDS the first
+    dispatch until all 6 concurrent requests are provably enqueued, so the
+    remaining requests coalesce into full batches — deterministically <=3
+    dispatches (first batch of 1..4, then the already-queued rest in <=2
+    more) on any host, however loaded; engine failures reach every waiter."""
     from vit_exp_tpu.cli.serve import MicroBatcher
+
+    enqueued = [0]
 
     class FakeEngine:
         def __init__(self):
             self.batch_sizes = []
+            self.gated = True
 
         def predict_batch(self, vols):
+            if self.gated:  # hold until every request sits in the queue
+                self.gated = False
+                deadline = time.time() + 10.0
+                while enqueued[0] < 6 and time.time() < deadline:
+                    time.sleep(0.001)
             self.batch_sizes.append(len(vols))
-            time.sleep(0.05)  # lets the queue fill behind the dispatch
             return vols[:, 0, 0, 0, :2]  # per-volume marker values
 
     eng = FakeEngine()
     b = MicroBatcher(eng, max_batch=4, window_ms=30.0)
+    orig_put = b._q.put
+
+    def counting_put(item):
+        orig_put(item)
+        if item is not None:
+            enqueued[0] += 1
+
+    b._q.put = counting_put
     vols = [np.full((1, 4, 4, 4), i, np.float32) for i in range(6)]
     out = [None] * 6
 
@@ -207,11 +224,9 @@ def test_micro_batcher_coalesces_pads_and_propagates_errors():
     for i in range(6):  # each request got ITS volume's row despite padding
         np.testing.assert_array_equal(out[i], [i, i])
     assert sum(eng.batch_sizes) >= 6
-    # coalescing is timing-dependent (thread startup vs the 30 ms window);
-    # on a loaded 1-core host the 6 requests may straggle — require only
-    # that fewer dispatches than requests happened, and ALWAYS that the
-    # program-shape contract held (the correctness-critical invariant)
-    assert len(eng.batch_sizes) < 6
+    # deterministic bound: the gate guarantees requests 2..6 were queued
+    # before the first dispatch returned, so they drain in at most 2 more
+    assert len(eng.batch_sizes) <= 3
     assert all(s in (1, 4) for s in eng.batch_sizes)  # only 2 program shapes
 
     class Boom:

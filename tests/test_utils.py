@@ -39,6 +39,22 @@ def test_multihost_single_process():
     assert process_count() == 1
 
 
+def test_multihost_cluster_shape_without_coordinator_raises(monkeypatch):
+    """--num_processes/--process_id without a coordinator is a
+    misconfigured pod launch (N independent trainers all claiming
+    process 0), not a single-process run — it must fail loudly."""
+    import pytest
+
+    from vit_exp_tpu.core import multihost
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    with pytest.raises(ValueError, match="coordinator"):
+        multihost.initialize(num_processes=2)
+    with pytest.raises(ValueError, match="coordinator"):
+        multihost.initialize(process_id=1)
+    assert multihost.initialize() is False  # true single-process no-op
+
+
 def test_compile_cache_populates_and_respects_env(tmp_path, monkeypatch):
     import jax
     import jax.numpy as jnp

@@ -33,8 +33,10 @@ def main(argv=None):
                         help="output .pt path (reference CTClip layout)")
     parser.add_argument("--vocab", default=None)
     parser.add_argument("--like", default=None,
-                        help="reference .pt to pass through non-derived "
-                        "keys from and pin the key set to")
+                        help="reference .pt: pins the key set, passes "
+                        "through non-derived keys, and overrides the "
+                        "synthesized dead-module/pooler/*_extra fills "
+                        "with the original's values")
     parser.add_argument("--bert_buffers", action="store_true",
                         help="emit embeddings.position_ids/token_type_ids "
                         "buffers (older HF strict-load targets)")

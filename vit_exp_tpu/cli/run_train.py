@@ -127,16 +127,10 @@ def main(argv=None):
                         "reference's `accelerate launch` process topology — "
                         "one process drives the whole mesh (or one per host "
                         "on pods, see --coordinator_address)")
-    parser.add_argument("--coordinator_address", default=None,
-                        metavar="HOST:PORT",
-                        help="multihost: jax.distributed coordinator "
-                        "(process 0's address).  With --num_processes/"
-                        "--process_id (or the JAX_* env vars), every host "
-                        "runs this same command and the mesh spans all "
-                        "hosts' devices; each host loads its slice of the "
-                        "global batch")
-    parser.add_argument("--num_processes", type=int, default=None)
-    parser.add_argument("--process_id", type=int, default=None)
+    # shared multihost flags (each host loads its slice of the global batch)
+    from vit_exp_tpu.core import multihost as _mh
+
+    _mh.add_cli_args(parser)
     args = parser.parse_args(argv)
 
     import jax

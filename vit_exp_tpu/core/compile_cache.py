@@ -23,20 +23,32 @@ def enable_compilation_cache(path: str | None = None, *,
                              force: bool = False) -> str | None:
     """Enable the persistent compile cache; returns the dir or None.
 
-    Safe to call multiple times and before/after backend init (JAX reads
-    the config at compile time).  Never raises: a read-only filesystem or
+    Safe to call multiple times.  Never raises: a read-only filesystem or
     an old jax just leaves caching off.  force=True skips the TPU-only
     gate (for tests, or a pinned single-machine CPU setup).
+
+    The TPU-only gate consults JAX_PLATFORMS / jax_platforms first; only
+    when no platform is pinned does it probe `jax.default_backend()`,
+    which INITIALIZES the backend (and can block while an axon tunnel is
+    down) and pins the platform for the rest of the process — so call
+    this AFTER any jax_platforms selection, not before.
     """
     if os.environ.get("VIT_EXP_NO_COMPILE_CACHE"):
         return None
     import jax
 
     if not force:
-        try:
-            backend = jax.default_backend()
-        except Exception:  # noqa: BLE001 — no backend (e.g. tunnel down)
-            return None
+        # Prefer the explicit platform request over probing: probing
+        # initializes the backend as a side effect.
+        backend = (getattr(jax.config, "jax_platforms", None)
+                   or os.environ.get("JAX_PLATFORMS")
+                   or os.environ.get("JAX_PLATFORM_NAME") or "")
+        backend = backend.split(",")[0].strip().lower()
+        if not backend:
+            try:
+                backend = jax.default_backend()
+            except Exception:  # noqa: BLE001 — no backend (tunnel down)
+                return None
         if backend != "tpu":
             # XLA:CPU AOT entries embed the COMPILING machine's feature
             # set; reloading on a host with different features risks

@@ -30,6 +30,16 @@ def initialize(
         "JAX_COORDINATOR_ADDRESS"
     )
     if not coordinator_address:
+        # A cluster shape without a coordinator is a misconfigured pod
+        # launch, not a single-process run: silently proceeding would give
+        # N independent trainers that all think they're process 0 and
+        # write the same results_folder concurrently.
+        if num_processes is not None or process_id is not None:
+            raise ValueError(
+                "--num_processes/--process_id given without "
+                "--coordinator_address (or JAX_COORDINATOR_ADDRESS); "
+                "refusing to run as N independent single-process jobs"
+            )
         return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

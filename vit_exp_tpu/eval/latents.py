@@ -182,6 +182,12 @@ def dump_encodings(engine, dataset, out_folder: str, *, limit=None,
             if write:
                 np.savez(path, row)
             paths.append(path)
+    # multihost: every process returns the same paths, but only p0 wrote
+    # them — barrier so the files exist (on the shared results tree, the
+    # same assumption the trainer makes) before any host reads them back
+    from vit_exp_tpu.core.multihost import sync_hosts
+
+    sync_hosts("dump_encodings")
     return paths
 
 

@@ -231,15 +231,22 @@ def export_ctclip_state_dict(
     - the BERT pooler (see export_bert_state_dict).
 
     `grid` is the token grid (n_t, n_h, n_w); `like` (an original
-    reference state dict) passes through any key this export can't
-    derive and pins the emitted key SET to the reference's exactly —
-    use it when round-tripping a converted checkpoint.
+    reference state dict) pins the emitted key SET to the reference's
+    exactly, passes through any key this export can't derive, and
+    OVERRIDES every synthesized/reference-init key above with the
+    original's values (the originals are ground truth for dead modules;
+    e.g. a real checkpoint's `*_latent_extra` holds its own random init,
+    not a mirror of the trained projection) — use it when round-tripping
+    a converted checkpoint.
     """
     from vit_exp_tpu.ops.posemb import sincos_pos_embed_3d
 
     bert_config = bert_config or BertConfig()
     visual = params["visual"]
     dim = _np(visual["norm_out"]["gamma"]).shape[0]
+    # keys whose values are synthesized (reference-init / mirrored), not
+    # derived from `params` — `like` values win over these
+    synth: set = set()
 
     def lin(prefix, tree, bias=True):
         out = {prefix + ".weight": _t(tree["kernel"])}
@@ -257,6 +264,7 @@ def export_ctclip_state_dict(
     sd.update(lin(v + "to_patch_emb.2", visual["patch_proj"]))
     sd.update(ln(v + "to_patch_emb.3", visual["patch_norm_out"]))
     sd[v + "pos_embed"] = sincos_pos_embed_3d(dim, tuple(grid))[None]
+    synth.add(v + "pos_embed")
 
     n_blocks = sum(1 for k in visual if k.startswith("block"))
     for i in range(n_blocks):
@@ -268,6 +276,8 @@ def export_ctclip_state_dict(
         sd[a + ".norm.beta"] = np.zeros((dim,), np.float32)
         sd[a + ".context_norm.gamma"] = np.ones((dim,), np.float32)
         sd[a + ".context_norm.beta"] = np.zeros((dim,), np.float32)
+        synth.update((a + ".norm.beta", a + ".context_norm.gamma",
+                      a + ".context_norm.beta"))
         sd[a + ".null_kv"] = _f(attn["null_kv"])
         sd.update(lin(a + ".to_q", attn["to_q"], bias=False))
         sd.update(lin(a + ".to_kv", attn["to_kv"], bias=False))
@@ -279,6 +289,7 @@ def export_ctclip_state_dict(
         sd.update(lin(f + ".4", ff["wo"], bias=False))
     sd[v + "enc_3D.norm_out.gamma"] = _f(visual["norm_out"]["gamma"])
     sd[v + "enc_3D.norm_out.beta"] = np.zeros((dim,), np.float32)
+    synth.add(v + "enc_3D.norm_out.beta")
 
     # modules the encode path never runs (zero-filled; `like` overrides):
     # ContinuousPositionBias net = Linear(2,dim), Linear(dim,dim),
@@ -293,17 +304,24 @@ def export_ctclip_state_dict(
         (v + "to_pixels.0.bias", (patch_dim,)),
     ):
         sd[key] = np.zeros(shape, np.float32)
+        synth.add(key)
 
     for k, val in export_bert_state_dict(
             params["text_transformer"], bert_config,
             buffers=bert_buffers).items():
         sd["text_transformer." + k] = val
+    synth.update(("text_transformer.pooler.dense.weight",
+                  "text_transformer.pooler.dense.bias",
+                  "text_transformer.embeddings.position_ids",
+                  "text_transformer.embeddings.token_type_ids"))
 
     sd["to_text_latent.weight"] = _t(params["to_text_latent"]["kernel"])
     sd["to_visual_latent.weight"] = _t(params["to_visual_latent"]["kernel"])
     sd["to_text_latent_extra.weight"] = sd["to_text_latent.weight"].copy()
     sd["to_visual_latent_extra.weight"] = (
         sd["to_visual_latent.weight"].copy())
+    synth.update(("to_text_latent_extra.weight",
+                  "to_visual_latent_extra.weight"))
     sd["temperature"] = _f(params["temperature"])
 
     for head in ("seg_head", "open_seg_head", "open_text_head",
@@ -315,7 +333,9 @@ def export_ctclip_state_dict(
     if like is not None:
         like = _strip_module(like)
         for k, val in like.items():
-            if k not in sd:
+            # the original is ground truth both for keys we can't derive
+            # AND for the synthesized reference-init fills above
+            if k not in sd or k in synth:
                 arr = _np(val)
                 sd[k] = (arr.astype(np.float32)
                          if np.issubdtype(arr.dtype, np.floating) else arr)
