@@ -157,6 +157,154 @@ def test_packed_matches_transpose_path_shape_grid(heads, d, n, want_hp,
                                    err_msg=f"{(heads, d, n)}")
 
 
+# gradient grid: hits BOTH backward kernels — exact tiling selects the
+# one-pass fused bwd (incl. the q-block doubling at nq % 2·block == 0),
+# ragged/mismatched lengths select the concat bwd, null kv adds the
+# outside-the-kernel einsum terms
+GRAD_GRID = [
+    (1, 2, 64, 64, 16, 0),     # fused bwd, bq doubles (64 % 64 == 0)
+    (1, 1, 96, 96, 24, 0),     # fused bwd (96 % 32), padded d
+    (1, 3, 65, 65, 16, 0),     # concat bwd (ragged)
+    (1, 2, 48, 80, 16, 0),     # concat bwd (nq != nkv, both ragged)
+    (2, 2, 64, 64, 8, 2),      # fused bwd + null-kv gradient terms
+    (1, 2, 100, 100, 16, 2),   # concat bwd + null-kv gradient terms
+]
+
+
+@pytest.mark.parametrize("b,h,nq,nkv,d,n_null", GRAD_GRID)
+def test_flash_attention_grad_shape_grid(b, h, nq, nkv, d, n_null):
+    q = _mk((b, h, nq, d), seed=nq + d)
+    k = _mk((b, h, nkv, d), seed=nkv + d + 1)
+    v = _mk((b, h, nkv, d), seed=nkv + d + 2)
+    cot = _mk((b, h, nq, d), seed=nkv + d + 3)
+    nk = nv = None
+    if n_null:
+        nk = _mk((b, h, n_null, d), seed=53)
+        nv = _mk((b, h, n_null, d), seed=59)
+
+    def loss_flash(q, k, v, nk, nv):
+        kw = dict(null_k=nk, null_v=nv) if n_null else {}
+        out = flash_attention(q, k, v, block_q=32, block_k=32,
+                              interpret=True, **kw)
+        return jnp.vdot(out, cot)
+
+    def loss_ref(q, k, v, nk, nv):
+        kr, vr = k, v
+        if n_null:
+            kr = jnp.concatenate([nk, k], axis=2)
+            vr = jnp.concatenate([nv, v], axis=2)
+        return jnp.vdot(_sdpa_ref(q, kr, vr), cot)
+
+    argnums = (0, 1, 2, 3, 4) if n_null else (0, 1, 2)
+    ours = jax.grad(loss_flash, argnums=argnums)(q, k, v, nk, nv)
+    refs = jax.grad(loss_ref, argnums=argnums)(q, k, v, nk, nv)
+    for o, r, name in zip(ours, refs, ("dq", "dk", "dv", "dnk", "dnv")):
+        np.testing.assert_allclose(
+            np.asarray(o), np.asarray(r), atol=5e-5, rtol=1e-4,
+            err_msg=f"{name} {(b, h, nq, nkv, d, n_null)}")
+
+
+@pytest.mark.parametrize("b,h,nq,nkv,d,n_null",
+                         [(1, 2, 64, 64, 16, 0), (1, 3, 65, 65, 16, 2)])
+def test_static_max_grad_shape_grid(b, h, nq, nkv, d, n_null):
+    """Static-max (bounded-logit) gradients == the xla cosine path on a
+    fused-bwd and a concat-bwd shape, with the full cosine prologue."""
+    rng = np.random.default_rng(d + nq)
+    q = _mk((b, h, nq, d), seed=nq + d + 4)
+    k = _mk((b, h, nkv, d), seed=nkv + d + 5)
+    v = _mk((b, h, nkv, d), seed=nkv + d + 6)
+    cot = _mk((b, h, nq, d), seed=nkv + d + 7)
+    q_scale = jnp.asarray((1 + 0.1 * rng.standard_normal(d)
+                           ).astype(np.float32))
+    k_scale = jnp.asarray((1 + 0.1 * rng.standard_normal(d)
+                           ).astype(np.float32))
+    nk = nv = None
+    if n_null:
+        nk = _mk((h, n_null, d), seed=61)
+        nv = _mk((h, n_null, d), seed=67)
+
+    def loss(impl, static_max):
+        def f(q, k, v):
+            kw = dict(null_k=nk, null_v=nv) if n_null else {}
+            out = cosine_attention(q, k, v, impl=impl,
+                                   static_max=static_max,
+                                   q_scale=q_scale, k_scale=k_scale,
+                                   scale=None, **kw)
+            return jnp.vdot(out, cot)
+        return f
+
+    ours = jax.grad(loss("pallas", True), argnums=(0, 1, 2))(q, k, v)
+    refs = jax.grad(loss("xla", False), argnums=(0, 1, 2))(q, k, v)
+    for o, r, name in zip(ours, refs, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(
+            np.asarray(o), np.asarray(r), atol=5e-5, rtol=1e-4,
+            err_msg=f"{name} {(b, h, nq, nkv, d, n_null)}")
+
+
+@pytest.mark.parametrize("m,dim,inner", [(65, 16, 24), (33, 40, 8)])
+def test_geglu_ff_odd_split_shape_grid(m, dim, inner):
+    """fused GEGLU-FF fwd+bwd at val/gate split boundaries that are not
+    lane multiples (inner 24, 8) and lane-padded dims (40)."""
+    from vit_exp_tpu.ops.geglu_ff import fused_geglu_ff
+
+    rng = np.random.default_rng(m + dim)
+    x = jnp.asarray(rng.standard_normal((1, m, dim)).astype(np.float32))
+    gamma = jnp.asarray(
+        (1 + 0.1 * rng.standard_normal(dim)).astype(np.float32))
+    beta = jnp.asarray((0.1 * rng.standard_normal(dim)).astype(np.float32))
+    w1 = jnp.asarray(
+        rng.standard_normal((dim, 2 * inner)).astype(np.float32)
+        / np.sqrt(dim))
+    w2 = jnp.asarray(
+        rng.standard_normal((inner, dim)).astype(np.float32)
+        / np.sqrt(inner))
+    cot = jnp.asarray(rng.standard_normal(x.shape).astype(np.float32))
+
+    def ref(x, gamma, beta, w1, w2):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+        y = (x - mu) * jax.lax.rsqrt(var + 1e-5) * gamma + beta
+        val, gate = jnp.split(y @ w1, 2, axis=-1)
+        return jnp.vdot((jax.nn.gelu(gate, approximate=False) * val) @ w2,
+                        cot)
+
+    def ours(x, gamma, beta, w1, w2):
+        return jnp.vdot(
+            fused_geglu_ff(x, gamma, beta, w1, w2, block_m=32), cot)
+
+    np.testing.assert_allclose(
+        float(ours(x, gamma, beta, w1, w2)),
+        float(ref(x, gamma, beta, w1, w2)), rtol=1e-5)
+    ref_g = jax.grad(ref, argnums=(0, 1, 2, 3, 4))(x, gamma, beta, w1, w2)
+    our_g = jax.grad(ours, argnums=(0, 1, 2, 3, 4))(x, gamma, beta, w1, w2)
+    for r, o, name in zip(ref_g, our_g,
+                          ("dx", "dgamma", "dbeta", "dw1", "dw2")):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   atol=2e-4, rtol=2e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("m,dim,fq,fkv", [(65, 24, 40, 16), (32, 16, 8, 72)])
+def test_fused_ln_qkv_odd_widths_shape_grid(m, dim, fq, fkv):
+    """fused LN→qkv projection at q/kv output widths that are not lane
+    multiples — the q/kv split boundary must land exactly."""
+    from vit_exp_tpu.ops.fused_proj import fused_ln_qkv
+
+    rng = np.random.default_rng(m + fq)
+    x = jnp.asarray(rng.standard_normal((2, m, dim)).astype(np.float32))
+    gamma = jnp.asarray(
+        (1 + 0.1 * rng.standard_normal(dim)).astype(np.float32))
+    wq = jnp.asarray(rng.standard_normal((dim, fq)).astype(np.float32))
+    wkv = jnp.asarray(rng.standard_normal((dim, fkv)).astype(np.float32))
+    q, kv = fused_ln_qkv(x, gamma, wq, wkv)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + 1e-5) * gamma
+    np.testing.assert_allclose(np.asarray(q), np.asarray(y @ wq),
+                               atol=3e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(kv), np.asarray(y @ wkv),
+                               atol=3e-5, rtol=1e-5)
+
+
 def test_combined_kv_width_mismatch_raises():
     """A combined-kv tensor whose width is neither heads·d nor 2·heads·d
     must raise, not be silently sliced (the review-found bug class)."""
