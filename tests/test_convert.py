@@ -508,24 +508,30 @@ def test_convert_legacy_ctvit_state_dict():
 # the strongest conversion guarantee available without real weights.
 
 
-def _toy_bert_config():
-    s = TOY
+def _toy_bert_config(s: Spec = TOY):
     return BertConfig(vocab_size=s.vocab, hidden_size=s.dim,
                       num_hidden_layers=2, num_attention_heads=2,
                       intermediate_size=32, max_position_embeddings=32,
                       type_vocab_size=2)
 
 
-def test_export_roundtrip_bitexact():
+# an awkward architecture for the bijection sweep: odd head count, inner
+# attention width (heads·dh=24) != dim, odd block count, non-cubic grid
+ODDARCH = Spec(dim=36, heads=3, dh=8, blocks=3, t=8, pt=2)
+
+
+@pytest.mark.parametrize("s", [TOY, NONCUBE, ODDARCH],
+                         ids=["cube", "noncube", "oddarch"])
+def test_export_roundtrip_bitexact(s):
     """torch → flax → torch round trip: with `like` pinning the key set
     to the original's, every key comes back BIT-identical (derived keys
-    invert exactly: .T∘.T; the rest pass through)."""
+    invert exactly: .T∘.T; the rest pass through) — on cubic, non-cubic
+    and odd-dimension architectures."""
     from vit_exp_tpu.models.convert import export_ctclip_state_dict
 
-    s = TOY
     *_, params, sd = _build_pair(s)
     out = export_ctclip_state_dict(params, grid=s.grid, heads=s.heads,
-                                   bert_config=_toy_bert_config(), like=sd)
+                                   bert_config=_toy_bert_config(s), like=sd)
     assert set(out) == set(sd)
     for k, v in sd.items():
         ref = v.detach().cpu().numpy() if hasattr(v, "detach") else v
@@ -533,7 +539,8 @@ def test_export_roundtrip_bitexact():
             out[k], np.asarray(ref), err_msg=k)
 
 
-def test_export_reimport_identity_and_strict_surface():
+@pytest.mark.parametrize("s", [TOY, ODDARCH], ids=["cube", "oddarch"])
+def test_export_reimport_identity_and_strict_surface(s):
     """Without `like`: re-importing the export reproduces the flax tree
     exactly, and the export carries every reference-registered key the
     strict load needs (ct_clip.py:771 load_state_dict): gamma-only-LN
@@ -543,8 +550,7 @@ def test_export_reimport_identity_and_strict_surface():
     from vit_exp_tpu.models.convert import (convert_ctclip_state_dict,
                                             export_ctclip_state_dict)
 
-    s = TOY
-    bc = _toy_bert_config()
+    bc = _toy_bert_config(s)
     *_, params, _ = _build_pair(s)
     out = export_ctclip_state_dict(params, grid=s.grid, heads=s.heads,
                                    bert_config=bc)
