@@ -15,7 +15,6 @@ import numpy as np
 
 
 def main():
-    import functools
 
     import jax
     import jax.numpy as jnp

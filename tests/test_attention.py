@@ -107,7 +107,6 @@ def test_mask_blocks_attention():
 def test_fused_geglu_ff_matches_module():
     """ops/geglu_ff fused kernel == BiasLayerNorm→wi→GEGLU→wo module path,
     including param-tree compatibility of the two GEGLUFeedForward impls."""
-    import flax.linen as nn
     from vit_exp_tpu.core.precision import Policy
     from vit_exp_tpu.models.layers import GEGLUFeedForward
 

@@ -16,7 +16,6 @@ Three shapes run (VERDICT round-1 item 3):
 
 import dataclasses
 import math
-import os
 
 import numpy as np
 import pytest

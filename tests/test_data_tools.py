@@ -1,12 +1,11 @@
 """Data-layer tests: tokenizer, NIfTI reader, mask tools, loader, datasets."""
 
 import gzip
-import os
 import struct
 
 import numpy as np
 
-from vit_exp_tpu.data.loader import Loader, InfiniteLoader, collate
+from vit_exp_tpu.data.loader import Loader, InfiniteLoader
 from vit_exp_tpu.data.mask_tools import (
     align_mask_to_image,
     check_npz_tree,

@@ -1,6 +1,5 @@
 """Config-named eval hook factory tests."""
 
-import numpy as np
 
 import jax
 import jax.numpy as jnp

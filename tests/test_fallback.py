@@ -2,7 +2,6 @@
 TextTransformer / 2D VisionTransformer (ct_clip.py:167-455) vs
 models/fallback.py with converted weights."""
 
-import math
 
 import numpy as np
 import pytest

@@ -7,7 +7,6 @@ with dp×tp without changing results.
 """
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
@@ -55,7 +54,7 @@ def test_sharded_train_step_matches_single_device():
     """Tiny CTCLIP contrastive step: dp×tp sharded == unsharded."""
     import flax.linen as nn
 
-    from vit_exp_tpu.core.config import ArchConfig, ExperimentConfig
+    from vit_exp_tpu.core.config import ExperimentConfig
     from vit_exp_tpu.core.precision import FP32_POLICY
     from vit_exp_tpu.models.bert import BertConfig
     from vit_exp_tpu.models.factory import build_ctclip

@@ -11,8 +11,6 @@ byte-identical input_ids/attention_mask to the HF fast tokenizers across a
 [UNK], CJK, control chars, and max_length truncation.
 """
 
-import json
-import os
 
 import numpy as np
 import pytest

@@ -26,7 +26,6 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from vit_exp_tpu.core.precision import Policy, DEFAULT_POLICY

@@ -30,7 +30,6 @@ bf16-ready via the Policy, static shapes throughout.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax

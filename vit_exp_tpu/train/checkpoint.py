@@ -13,7 +13,6 @@ import os
 import re
 from typing import Any, Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 
