@@ -105,10 +105,13 @@ def main(argv=None):
                                }).encode()
         return json.dumps({"volume": v.astype(np.float32).tolist()}).encode()
 
-    # bodies are encoded lazily PER CLIENT, outside each request's timer:
-    # pre-encoding all of them holds ~n×body bytes at once (~7 GB for 48
-    # production-shape npy requests, far worse for --payload list); lazy
-    # encoding caps the footprint at ~n_clients×body bytes
+    # bodies come from a bounded producer queue: pre-encoding ALL of them
+    # holds ~n×body bytes at once (~7 GB for 48 production-shape npy
+    # requests, far worse for --payload list), while encoding inline in
+    # the clients would put encode CPU inside the throughput window and
+    # deflate vol/s.  A producer thread keeps ~2×clients distinct bodies
+    # ahead (pre-filled before the timer starts), so encode overlaps the
+    # in-flight requests and memory stays bounded.
 
     def post(body):
         req = urllib.request.Request(
@@ -119,19 +122,33 @@ def main(argv=None):
     post(encode(args.requests + 1))  # warm the HTTP path
 
     n = args.requests
-    counter = {"left": n}
     lock = threading.Lock()
     lat = []
     failures = []
 
+    import queue as _queue
+
+    depth = min(n, max(2 * args.clients, 4))
+    body_q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+
+    def producer():
+        for i in range(n):
+            body_q.put(encode(i))  # distinct volume per request
+
+    prod = threading.Thread(target=producer, daemon=True)
+    prod.start()
+    while body_q.qsize() < depth and prod.is_alive():
+        time.sleep(0.01)  # pre-fill before the timer starts
+
+    counter = {"taken": 0}
+
     def client():
         while True:
             with lock:
-                if counter["left"] == 0:
+                if counter["taken"] >= n:
                     return
-                counter["left"] -= 1
-                i = counter["left"]
-            body = encode(i)  # distinct volume per request, untimed
+                counter["taken"] += 1
+            body = body_q.get()  # a reserved slot always gets a body
             t0 = time.perf_counter()
             try:
                 post(body)

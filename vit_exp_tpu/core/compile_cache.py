@@ -39,12 +39,18 @@ def enable_compilation_cache(path: str | None = None, *,
 
     if not force:
         # Prefer the explicit platform request over probing: probing
-        # initializes the backend as a side effect.
-        backend = (getattr(jax.config, "jax_platforms", None)
-                   or os.environ.get("JAX_PLATFORMS")
-                   or os.environ.get("JAX_PLATFORM_NAME") or "")
-        backend = backend.split(",")[0].strip().lower()
-        if not backend:
+        # initializes the backend as a side effect.  Only a SINGLE pinned
+        # platform is trusted — a priority list like "tpu,cpu" can fall
+        # back to CPU at init time, so it must be resolved by probing
+        # (writing CPU AOT entries under a "tpu"-first list would revive
+        # the cross-VM SIGILL hazard this gate exists to prevent).
+        pinned = (getattr(jax.config, "jax_platforms", None)
+                  or os.environ.get("JAX_PLATFORMS")
+                  or os.environ.get("JAX_PLATFORM_NAME") or "")
+        entries = [e.strip().lower() for e in pinned.split(",") if e.strip()]
+        if len(entries) == 1:
+            backend = entries[0]
+        else:
             try:
                 backend = jax.default_backend()
             except Exception:  # noqa: BLE001 — no backend (tunnel down)

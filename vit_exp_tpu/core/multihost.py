@@ -15,8 +15,6 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-import jax
-
 
 def initialize(
     coordinator_address: Optional[str] = None,
@@ -26,18 +24,28 @@ def initialize(
     """Initialize jax.distributed from args or the standard env vars
     (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID); no-op
     when single-process."""
+    import jax
+
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )
     if not coordinator_address:
-        # A cluster shape without a coordinator is a misconfigured pod
-        # launch, not a single-process run: silently proceeding would give
-        # N independent trainers that all think they're process 0 and
-        # write the same results_folder concurrently.
-        if num_processes is not None or process_id is not None:
+        # A multi-process cluster shape without a coordinator is a
+        # misconfigured pod launch, not a single-process run: silently
+        # proceeding would give N independent trainers that all think
+        # they're process 0 and write the same results_folder
+        # concurrently.  Check args AND the env vars (the launcher path
+        # this module advertises); a 1-process / id-0 shape is a genuine
+        # single-process run and stays a no-op.
+        if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+            num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+        if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+            process_id = int(os.environ["JAX_PROCESS_ID"])
+        if (num_processes not in (None, 1)) or (process_id not in (None, 0)):
             raise ValueError(
-                "--num_processes/--process_id given without "
-                "--coordinator_address (or JAX_COORDINATOR_ADDRESS); "
+                "--num_processes/--process_id (or JAX_NUM_PROCESSES/"
+                "JAX_PROCESS_ID) describe a multi-process cluster but no "
+                "--coordinator_address / JAX_COORDINATOR_ADDRESS is set; "
                 "refusing to run as N independent single-process jobs"
             )
         return False
@@ -78,15 +86,21 @@ def initialize_from_args(args) -> bool:
 
 
 def is_main_process() -> bool:
+    import jax
+
     return jax.process_index() == 0
 
 
 def process_count() -> int:
+    import jax
+
     return jax.process_count()
 
 
 def sync_hosts(name: str = "barrier"):
     """Cross-host barrier via a tiny psum (cheap, compiled)."""
+    import jax
+
     if jax.process_count() == 1:
         return
     import jax.numpy as jnp
