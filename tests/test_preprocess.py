@@ -1,5 +1,6 @@
 """Preprocess-chain parity vs torch oracles (SURVEY.md §7 hard-part #5)."""
 
+import pytest
 import numpy as np
 import torch
 import torch.nn.functional as F
@@ -30,6 +31,28 @@ def test_trilinear_upsample_matches_torch():
         align_corners=False,
     )[0, 0].numpy()
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("in_shape,out_shape", [
+    ((1, 9, 11), (5, 3, 2)),    # single-slice input broadcast up
+    ((7, 9, 11), (7, 9, 11)),   # identity sizes
+    ((16, 3, 3), (1, 3, 5)),    # collapse an axis to 1
+    ((2, 2, 2), (3, 3, 3)),     # tiny upsample (all boundary weights)
+    ((5, 1, 7), (4, 6, 1)),     # size-1 axes on both sides
+])
+def test_trilinear_edge_shapes_match_torch(in_shape, out_shape):
+    """align_corners=False boundary handling at degenerate sizes (size-1
+    axes, identity, axis collapse) — the cases where half-pixel centers
+    clamp and an off-by-one diverges from the reference resample."""
+    rng = np.random.default_rng(sum(in_shape))
+    x = rng.standard_normal(in_shape).astype(np.float32)
+    ours = np.asarray(pp.resize_trilinear(jnp.asarray(x), out_shape))
+    ref = F.interpolate(
+        torch.tensor(x)[None, None], size=out_shape, mode="trilinear",
+        align_corners=False,
+    )[0, 0].numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5,
+                               err_msg=f"{in_shape}->{out_shape}")
 
 
 def test_offline_volume_matches_reference_chain():
