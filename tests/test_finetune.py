@@ -233,3 +233,105 @@ def test_per_label_report(tmp_path):
     lines = open(out).read().strip().splitlines()
     assert lines[0] == "label,precision,recall,f1,support"
     assert len(lines) == 4
+
+
+_TINY_ARCH = {
+    "dim": 24, "image_size": 8, "patch_size": 4,
+    "temporal_size": 8, "temporal_patch_size": 4,
+    "transformer_blocks": 1, "dim_head": 4, "heads": 2,
+}
+
+
+def test_lipro_save_load_infer_artifacts(tmp_path):
+    """Probe persistence + ct_lipro_inference.py evaluate_model parity:
+    head save/load round-trips bit-level, infer writes the reference
+    artifact set over the pipelined batched loop (odd n → tail pad)."""
+    from vit_exp_tpu.data.synthetic import SyntheticInferenceDataset
+    from vit_exp_tpu.finetune.lipro import LiProTrainer
+
+    model, params = _tiny_clip()
+    trainer = LiProTrainer(model, params, num_classes=5, total_steps=10)
+    rng = np.random.default_rng(4)
+    video = rng.uniform(0, 1, (2, 1, 8, 8, 8)).astype(np.float32)
+    labels = (rng.random((2, 5)) > 0.5).astype(np.float32)
+    trainer.fit_batch(video, labels)
+    head_path = tmp_path / "head.msgpack"
+    trainer.save(str(head_path))
+
+    other = LiProTrainer(model, params, num_classes=5, total_steps=10,
+                         seed=9)
+    assert not np.allclose(other.predict(video), trainer.predict(video))
+    other.load(str(head_path))
+    np.testing.assert_allclose(other.predict(video), trainer.predict(video),
+                               rtol=1e-6)
+
+    arch = ExperimentConfig.from_dict({"arch": dict(_TINY_ARCH)}).arch
+    dataset = SyntheticInferenceDataset(5, arch=arch, n_labels=18)
+    out = tmp_path / "artifacts"
+    res = other.infer(dataset, results_folder=str(out), batch_size=2)
+    pred = np.load(out / "predicted.npz")["arr_0"]
+    true = np.load(out / "labels.npz")["arr_0"]
+    assert pred.shape == (5, 5) and true.shape == (5, 5)
+    assert np.all((pred >= 0) & (pred <= 1))
+    assert len((out / "accessions.txt").read_text().splitlines()) == 5
+    assert (out / "aurocs.json").exists()
+    # engine probs == direct per-volume predict (pad-tail must not leak)
+    direct = np.concatenate(
+        [other.predict(dataset[i]["image"][None]) for i in range(5)])
+    np.testing.assert_allclose(pred, direct, rtol=2e-5, atol=1e-6)
+    assert isinstance(res, dict) and res
+
+
+def test_run_finetune_cli_lipro_train_save_infer(tmp_path):
+    """CLI round trip: train → --save_path, then --infer --load_head
+    writes the ct_lipro_inference.py artifacts."""
+    import yaml
+
+    from vit_exp_tpu.cli.run_finetune import main as ft_main
+
+    cfg = {
+        "trainer": {"lr": 1e-4},
+        "arch": dict(_TINY_ARCH),
+        "text_encoder": {"hidden_size": 36, "num_hidden_layers": 1,
+                         "num_attention_heads": 3, "intermediate_size": 64,
+                         "max_position_embeddings": 64},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    head = tmp_path / "head.msgpack"
+    ft_main(["lipro", "--config", str(cfg_path), "--synthetic", "4",
+             "--epochs", "1", "--batch_size", "2",
+             "--save_path", str(head)])
+    assert head.exists() and head.stat().st_size > 0
+    out = tmp_path / "out"
+    ft_main(["lipro", "--config", str(cfg_path), "--infer",
+             "--load_head", str(head), "--synthetic", "4",
+             "--batch_size", "2", "--results_folder", str(out)])
+    assert (out / "aurocs.json").exists()
+    assert np.load(out / "predicted.npz")["arr_0"].shape == (4, 18)
+
+
+def test_run_finetune_cli_vocabfine_exports_reference_pt(tmp_path):
+    """vocabfine --save_path writes a reference-layout CTClip .pt
+    (ct_vocabfine_train.py:134-149 saves the full model state dict; ours
+    goes through the strict-load export so reference tooling and
+    run_zero_shot_cls --torch_ckpt both consume it)."""
+    import yaml
+
+    from vit_exp_tpu.cli.run_finetune import main as ft_main
+
+    cfg = {
+        "trainer": {"lr": 1e-4},
+        "arch": dict(_TINY_ARCH),
+        "text_encoder": {"hidden_size": 36, "num_hidden_layers": 1,
+                         "num_attention_heads": 3, "intermediate_size": 64,
+                         "max_position_embeddings": 64},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    pt = tmp_path / "CTClip.ft.pt"
+    ft_main(["vocabfine", "--config", str(cfg_path), "--synthetic", "1",
+             "--epochs", "1", "--max_text_len", "16",
+             "--save_path", str(pt)])
+    sd = torch.load(str(pt), map_location="cpu", weights_only=True)
+    assert sd and all(k.startswith("module.") for k in sd)

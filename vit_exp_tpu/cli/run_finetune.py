@@ -1,10 +1,21 @@
-"""Fine-tuning CLI — ct_lipro_train.py / ct_vocabfine_train.py equivalents.
+"""Fine-tuning CLI — ct_lipro_train.py / ct_vocabfine_train.py equivalents,
+plus the ct_lipro_inference.py evaluation path.
 
 Usage:
     python -m vit_exp_tpu.cli.run_finetune lipro --config cfg.yaml \
-        --pretrained ckpt [--synthetic N] [--epochs N] [--lr ...]
+        --pretrained ckpt [--synthetic N] [--epochs N] [--lr ...] \
+        [--save_path head.msgpack]
+    python -m vit_exp_tpu.cli.run_finetune lipro --config cfg.yaml \
+        --pretrained ckpt --infer --load_head head.msgpack \
+        --results_folder out/      # ct_lipro_inference.py artifacts
     python -m vit_exp_tpu.cli.run_finetune vocabfine --config cfg.yaml \
-        --pretrained ckpt [--synthetic N] ...
+        --pretrained ckpt [--synthetic N] [--save_path CTClip.ft.pt] ...
+
+Save semantics follow the reference: lipro persists the probe head
+(ct_lipro_inference.py:38-42 saves the classifier state dict over a frozen
+backbone); vocabfine fine-tunes the WHOLE model and saves a reference-layout
+CTClip .pt (ct_vocabfine_train.py:134-149) — evaluate it with
+run_zero_shot_cls --torch_ckpt, exactly like any reference checkpoint.
 """
 
 from __future__ import annotations
@@ -30,7 +41,24 @@ def main(argv=None):
     parser.add_argument("--lr", type=float, default=None)
     parser.add_argument("--wd", type=float, default=0.1)
     parser.add_argument("--batch_size", type=int, default=2)
+    parser.add_argument("--max_text_len", type=int, default=512,
+                        help="vocabfine prompt tokenization length "
+                        "(reference max_length, ct_vocabfine_train.py)")
+    parser.add_argument("--save_path", default=None,
+                        help="lipro: probe-head msgpack out; vocabfine: "
+                        "reference-layout CTClip .pt out")
+    parser.add_argument("--infer", action="store_true",
+                        help="lipro only: skip training, evaluate the probe "
+                        "(ct_lipro_inference.py) and write artifacts")
+    parser.add_argument("--load_head", default=None,
+                        help="probe-head msgpack to load before --infer")
+    parser.add_argument("--results_folder", default=None,
+                        help="artifact dir for --infer (predicted/labels "
+                        "npz, accessions.txt, aurocs.json)")
     args = parser.parse_args(argv)
+    if args.infer and args.mode != "lipro":
+        parser.error("--infer is lipro-only; evaluate a vocabfine export "
+                     "with run_zero_shot_cls --torch_ckpt")
 
     import flax.linen as nn
     import jax
@@ -88,6 +116,16 @@ def main(argv=None):
         trainer = LiProTrainer(
             model, params, lr=args.lr or 1e-3, wd=args.wd, total_steps=total,
         )
+        if args.infer:
+            import json
+
+            if args.load_head:
+                trainer.load(args.load_head)
+            res = trainer.infer(dataset,
+                                results_folder=args.results_folder,
+                                batch_size=args.batch_size)
+            print(json.dumps(res, indent=2))
+            return
         for epoch in range(args.epochs):
             for start in range(0, len(dataset), args.batch_size):
                 items = [dataset[i] for i in
@@ -97,13 +135,16 @@ def main(argv=None):
                 labels = np.stack([it["onehot"][:18] for it in items])
                 loss = trainer.fit_batch(video, labels)
             print(f"epoch {epoch}: loss {loss:.4f}")
+        if args.save_path:
+            trainer.save(args.save_path)
+            print(f"saved probe head → {args.save_path}")
     else:
         from vit_exp_tpu.finetune.vocabfine import VocabFineTrainer
 
         total = args.epochs * len(dataset)
         trainer = VocabFineTrainer(
             model, params, tokenizer, lr=args.lr or 5e-6, wd=args.wd,
-            total_steps=total,
+            total_steps=total, max_text_len=args.max_text_len,
         )
         for epoch in range(args.epochs):
             for i in range(len(dataset)):
@@ -112,6 +153,17 @@ def main(argv=None):
                     item["image"][None], item["onehot"][:18]
                 )
             print(f"epoch {epoch}: loss {loss:.4f}")
+        if args.save_path:
+            from vit_exp_tpu.models.convert import save_ctclip_checkpoint
+
+            grid = (a.temporal_size // a.temporal_patch_size,
+                    a.image_size // a.patch_size,
+                    a.image_size // a.patch_size)
+            save_ctclip_checkpoint(
+                args.save_path, jax.device_get(trainer.params), grid=grid,
+                heads=a.heads, bert_config=bert_cfg,
+            )
+            print(f"saved reference-layout checkpoint → {args.save_path}")
 
 
 if __name__ == "__main__":

@@ -78,8 +78,10 @@ class LiProTrainer:
             rng, jnp.zeros((1, dim_latent))
         )["params"]
         warmup_steps = min(warmup_steps, max(total_steps // 10, 1))
+        # optax requires decay_steps > warmup_steps (a 1-step horizon
+        # otherwise leaves zero cosine steps)
         schedule = optax.warmup_cosine_decay_schedule(
-            0.0, lr, warmup_steps, total_steps
+            0.0, lr, warmup_steps, max(total_steps, warmup_steps + 1)
         )
         self.tx = optax.adamw(schedule, weight_decay=wd)
         self.opt_state = self.tx.init(self.head_params)
@@ -142,3 +144,73 @@ class LiProTrainer:
         return np.asarray(
             self._predict(self.head_params, self.image_latents(video))
         )
+
+    def save(self, path: str) -> None:
+        """Persist the probe head (flax msgpack).  The reference saves the
+        whole ImageLatentsClassifier state dict (ct_lipro_inference.py:38-42)
+        — the frozen backbone here is whatever checkpoint was loaded, so
+        only the head needs saving."""
+        from flax import serialization
+
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(self.head_params))
+
+    def load(self, path: str) -> None:
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            self.head_params = serialization.from_bytes(
+                self.head_params, f.read()
+            )
+
+    def infer(
+        self,
+        dataset,
+        *,
+        results_folder: Optional[str] = None,
+        limit: Optional[int] = None,
+        batch_size: int = 4,
+        num_workers: int = 4,
+    ) -> dict:
+        """evaluate_model semantics (ct_lipro_inference.py:44-92): sigmoid
+        probe probabilities per volume over an inference dataset, per-label
+        AUROC, and the reference artifact set (predicted/labels npz,
+        accessions.txt, AUROC table) — batched through the same pipelined
+        engine loop the zero-shot classifier uses."""
+        import json
+        import os
+
+        from vit_exp_tpu.eval.metrics import evaluate_internal
+        from vit_exp_tpu.eval.zero_shot import PATHOLOGIES, _one_deep_map
+
+        c = self.head.num_classes
+        n = min(len(dataset), limit) if limit else len(dataset)
+        preds, labels, accessions = [], [], []
+
+        def dispatch(padded, k, batch):
+            probs = self._predict(
+                self.head_params,
+                self._latents_fn(self.clip_params, padded["image"]),
+            )
+            return probs, k, batch["onehot"], batch["accession"]
+
+        for dev, k, onehots, accs in _one_deep_map(
+                dataset, n, batch_size, dispatch, num_workers=num_workers):
+            preds.extend(np.asarray(dev)[:k])
+            labels.extend(np.asarray(onehots)[:k, :c])
+            accessions.extend(accs[:k])
+
+        y_pred = np.asarray(preds)
+        y_true = np.asarray(labels)
+        res = evaluate_internal(y_pred, y_true, list(PATHOLOGIES[:c]))
+
+        if results_folder:
+            os.makedirs(results_folder, exist_ok=True)
+            np.savez(os.path.join(results_folder, "predicted.npz"), y_pred)
+            np.savez(os.path.join(results_folder, "labels.npz"), y_true)
+            with open(os.path.join(results_folder, "accessions.txt"),
+                      "w") as f:
+                f.writelines(f"{a}\n" for a in accessions)
+            with open(os.path.join(results_folder, "aurocs.json"), "w") as f:
+                json.dump(res, f, indent=2)
+        return res

@@ -57,8 +57,10 @@ class VocabFineTrainer:
         self.mask_absent = jnp.asarray(toks_a["attention_mask"])
 
         warmup_steps = min(warmup_steps, max(total_steps // 10, 1))
+        # optax requires decay_steps > warmup_steps (a 1-step horizon
+        # otherwise leaves zero cosine steps)
         schedule = optax.warmup_cosine_decay_schedule(
-            0.0, lr, warmup_steps, total_steps
+            0.0, lr, warmup_steps, max(total_steps, warmup_steps + 1)
         )
         self.tx = optax.adamw(schedule, weight_decay=wd)
         self.params = params
