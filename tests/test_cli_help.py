@@ -18,6 +18,7 @@ CLIS = [
     "run_ctvit_recon",
     "run_finetune",
     "run_latents",
+    "run_maskgit_sample",
     "run_text_classifier",
     "run_train",
     "run_zero_shot_cls",

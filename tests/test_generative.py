@@ -148,3 +148,33 @@ def test_t5_conditioning_adapter():
     logits = mg.apply(vars_, tok, context=ctx, context_mask=mask)
     assert logits.shape == (2, 10, 16)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_run_maskgit_sample_cli(tmp_path):
+    """Standalone text→CT generation driver (train_transformer.py:303-311
+    sampling surface): tiny CTViT+MaskGit+T5, two prompts → scene-chained
+    NIfTI out."""
+    import pytest
+
+    from vit_exp_tpu.models import t5_adapter
+
+    if not t5_adapter.available():
+        pytest.skip("FlaxT5EncoderModel unavailable")
+
+    from vit_exp_tpu.cli.run_maskgit_sample import main as mg_main
+    from vit_exp_tpu.data.nifti import read_nifti
+
+    out = tmp_path / "gen"
+    mg_main([
+        "--results_folder", str(out),
+        "--prompt", "pleural effusion", "--prompt", "follow-up",
+        "--dim", "24", "--codebook_size", "16",
+        "--image_size", "8", "--patch_size", "4",
+        "--temporal_patch_size", "2", "--num_frames", "5",
+        "--mg_dim", "16", "--mg_depth", "1", "--mg_heads", "2",
+        "--mg_dim_head", "4", "--steps", "2", "--max_text_len", "8",
+    ])
+    vol = read_nifti(str(out / "sample.nii.gz"))
+    # two chained 5-frame scenes, (H, W, S) axis order
+    assert vol.shape == (8, 8, 10)
+    assert np.isfinite(vol).all()

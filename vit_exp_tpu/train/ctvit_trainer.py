@@ -338,3 +338,15 @@ class MaskGITTrainer:
         self.pipeline.maskgit_vars = {"params": params}
         self.step += 1
         return float(loss)
+
+    def save(self, directory: str, step: Optional[int] = None):
+        """MaskGit weights under {directory}/ckpt_{step} — the CTViT it
+        rides is frozen and checkpointed by its own trainer (reference
+        train_transformer.py saves the transformer state separately).
+        cli/run_maskgit_sample.py restores this."""
+        from vit_exp_tpu.train.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(directory)
+        mgr.save(step if step is not None else self.step,
+                 {"params": self.pipeline.maskgit_vars["params"]},
+                 wait=True)
