@@ -12,7 +12,13 @@ Baseline denominators are DERIVED, line by line, in BASELINE.md
 data-bound at 6-12 vol/s (measured npz decompress cost × 6 workers) with a
 20-26 vol/s GPU-side ceiling, and its train step lands at 1.5-2.5 steps/s
 (36.6 TF/step at 25-35% A100 MFU + ingest overlap).  The constants below
-are the midpoints of those ranges.
+are the midpoints of those ranges.  BASELINE.md "The defended performance
+position" is the official interpretation of this bench's output: the
+structural ceiling at this architecture is ~26.1 vol/s (inference) /
+1.65 steps/s (train) on a v5e, the vs-baseline ratio is a pipeline-level
+comparison (ingest feasibility math there), and compute-vs-compute the
+honest cross-hardware framing is ~1.0-1.27× inference / 2.43
+A100-equivalent steps/s FLOPs-normalized.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

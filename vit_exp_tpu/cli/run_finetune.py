@@ -59,6 +59,12 @@ def main(argv=None):
     if args.infer and args.mode != "lipro":
         parser.error("--infer is lipro-only; evaluate a vocabfine export "
                      "with run_zero_shot_cls --torch_ckpt")
+    if args.infer and not args.load_head:
+        # the reference inference always loads the trained classifier
+        # (ct_lipro_inference.py:132) — evaluating the random-init head
+        # writes meaningless AUROC artifacts
+        parser.error("--infer requires --load_head (a trained probe head); "
+                     "without it the random-init head would be evaluated")
 
     import flax.linen as nn
     import jax
@@ -119,8 +125,7 @@ def main(argv=None):
         if args.infer:
             import json
 
-            if args.load_head:
-                trainer.load(args.load_head)
+            trainer.load(args.load_head)
             res = trainer.infer(dataset,
                                 results_folder=args.results_folder,
                                 batch_size=args.batch_size)
@@ -159,9 +164,18 @@ def main(argv=None):
             grid = (a.temporal_size // a.temporal_patch_size,
                     a.image_size // a.patch_size,
                     a.image_size // a.patch_size)
+            like = None
+            if args.torch_ckpt:
+                # fine-tuning started from a real reference .pt: pass it as
+                # like= so the export keeps that checkpoint's values for
+                # keys we synthesize (to_pixels, spatial_rel_pos_bias, …)
+                # instead of zero/reference-init fills — lossless round-trip
+                import torch
+
+                like = torch.load(args.pretrained, map_location="cpu")
             save_ctclip_checkpoint(
                 args.save_path, jax.device_get(trainer.params), grid=grid,
-                heads=a.heads, bert_config=bert_cfg,
+                heads=a.heads, bert_config=bert_cfg, like=like,
             )
             print(f"saved reference-layout checkpoint → {args.save_path}")
 

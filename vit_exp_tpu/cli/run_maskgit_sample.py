@@ -113,8 +113,13 @@ def main(argv=None):
         from vit_exp_tpu.train.checkpoint import CheckpointManager
 
         mgr = CheckpointManager(args.ctvit_checkpoint)
+        step = args.ctvit_step
+        if step is None:
+            step = mgr.latest_step()
+            if step is None:
+                parser.error(f"no ckpt_N entries in {args.ctvit_checkpoint}")
         restored = mgr.restore(
-            args.ctvit_step,
+            step,
             {"params": ctvit_vars["params"],
              "codebook": ctvit_vars.get("codebook", {})},
         )
@@ -132,10 +137,39 @@ def main(argv=None):
         print("WARNING: random-init tiny T5 (no --t5_pretrained) — "
               "prompts are not semantically grounded", flush=True)
     text_encode = t5_text_encode(enc)
-    tokenizer = load_tokenizer(args.vocab)
-    toks = tokenizer(list(args.prompt), max_length=args.max_text_len)
+    # Tokenization must be PAIRED with the conditioning encoder: the
+    # reference couples T5Tokenizer with the T5 encoder (t5.py:25,69-77) —
+    # WordPiece/hash ids index the wrong (sentencepiece) vocabulary and can
+    # exceed the embedding table.
+    toks = None
+    if args.t5_pretrained:
+        if args.vocab:
+            parser.error("--vocab conflicts with --t5_pretrained: prompts "
+                         "must use the T5's own paired tokenizer")
+        try:
+            from transformers import AutoTokenizer
+
+            t5_tok = AutoTokenizer.from_pretrained(args.t5_pretrained)
+            enc_out = t5_tok(list(args.prompt), padding="max_length",
+                             truncation=True, max_length=args.max_text_len,
+                             return_tensors="np")
+            toks = {"input_ids": enc_out["input_ids"],
+                    "attention_mask": enc_out["attention_mask"]}
+        except Exception as e:  # no tokenizer files / backend missing
+            print(f"WARNING: could not load the T5's paired tokenizer from "
+                  f"{args.t5_pretrained} ({e}); falling back to the local "
+                  "tokenizer — conditioning ids may be semantically "
+                  "meaningless", flush=True)
+    if toks is None:
+        tokenizer = load_tokenizer(args.vocab)
+        toks = tokenizer(list(args.prompt), max_length=args.max_text_len)
     all_ids = jnp.asarray(toks["input_ids"])
     all_mask = jnp.asarray(toks["attention_mask"])
+    t5_vocab = int(enc.model.config.vocab_size)
+    if int(np.asarray(all_ids).max()) >= t5_vocab:
+        raise SystemExit(
+            f"prompt token ids exceed the T5 vocab ({t5_vocab}): the "
+            "tokenizer is not paired with the conditioning encoder")
 
     # --- MaskGit -----------------------------------------------------------
     # scene chaining prepends the previous clip's prime tokens each round
@@ -162,8 +196,13 @@ def main(argv=None):
         from vit_exp_tpu.train.checkpoint import CheckpointManager
 
         mgr = CheckpointManager(args.maskgit_checkpoint)
-        mg_vars = mgr.restore(args.maskgit_step,
-                              {"params": mg_vars["params"]})
+        step = args.maskgit_step
+        if step is None:
+            step = mgr.latest_step()
+            if step is None:
+                parser.error(
+                    f"no ckpt_N entries in {args.maskgit_checkpoint}")
+        mg_vars = mgr.restore(step, {"params": mg_vars["params"]})
     else:
         print("WARNING: random-init MaskGit (no --maskgit_checkpoint)",
               flush=True)

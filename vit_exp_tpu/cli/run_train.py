@@ -112,6 +112,11 @@ def main(argv=None):
     parser.add_argument("--vocab", default=None, help="HF vocab.txt path")
     parser.add_argument("--synthetic", type=int, default=0,
                         help="use N synthetic samples per dataset")
+    parser.add_argument("--synthetic_eval", type=int, default=0,
+                        help="use N synthetic samples for the eval/sample "
+                        "hooks while TRAIN data comes from the config "
+                        "(integration runs on real/packed train data "
+                        "without a real valid set)")
     parser.add_argument("--attn_impl", default=None,
                         choices=["xla", "pallas", "pallas_static"])
     parser.add_argument("--ff_impl", default=None,
@@ -187,14 +192,15 @@ def main(argv=None):
 
         cls_ds = seg_ds = open_ds = None
         valid = config.extra.get("valid_data", {})
-        if args.synthetic:
+        if args.synthetic or args.synthetic_eval:
             from vit_exp_tpu.data.synthetic import (
                 SyntheticCTDataset,
                 SyntheticInferenceDataset,
             )
 
             cls_ds = SyntheticInferenceDataset(
-                max(args.synthetic // 2, 2), arch=config.arch
+                args.synthetic_eval or max(args.synthetic // 2, 2),
+                arch=config.arch,
             )
             if config.ct_clip_arch.use_open_seg:
                 open_ds = SyntheticCTDataset(

@@ -24,6 +24,36 @@ except ImportError:  # pragma: no cover
     roc_curve = None
 
 
+def save_inference_artifacts(results_folder: str, y_pred: np.ndarray,
+                             y_true: np.ndarray, accessions, res: Dict
+                             ) -> None:
+    """Write the reference inference artifact set (zero_shot.py:590-602,
+    ct_lipro_inference.py:81-86): `predicted_weights.npz` /
+    `labels_weights.npz` under key 'data', `accessions.txt`, plus the AUROC
+    table.  The reference writes `aurocs.xlsx` via xlsxwriter; no xlsx
+    engine ships offline, so the table goes to `aurocs.csv` (same one-row
+    `{label}_auc` layout as the reference DataFrame) and `aurocs.json`.
+    Plain `predicted.npz`/`labels.npz` (key arr_0) are kept as well for
+    in-repo tooling."""
+    import json
+    import os
+
+    os.makedirs(results_folder, exist_ok=True)
+    np.savez(os.path.join(results_folder, "predicted_weights.npz"),
+             data=y_pred)
+    np.savez(os.path.join(results_folder, "labels_weights.npz"), data=y_true)
+    np.savez(os.path.join(results_folder, "predicted.npz"), y_pred)
+    np.savez(os.path.join(results_folder, "labels.npz"), y_true)
+    with open(os.path.join(results_folder, "accessions.txt"), "w") as f:
+        f.writelines(f"{a}\n" for a in accessions)
+    with open(os.path.join(results_folder, "aurocs.json"), "w") as f:
+        json.dump(res, f, indent=2)
+    keys = list(res)
+    with open(os.path.join(results_folder, "aurocs.csv"), "w") as f:
+        f.write(",".join(keys) + "\n")
+        f.write(",".join(f"{res[k]}" for k in keys) + "\n")
+
+
 def evaluate_internal(
     y_pred: np.ndarray, y_true: np.ndarray, labels: Sequence[str]
 ) -> Dict[str, float]:

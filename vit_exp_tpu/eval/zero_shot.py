@@ -19,7 +19,6 @@ eval/sweep.py.
 
 from __future__ import annotations
 
-import json
 import os
 import time
 from typing import Dict, List, Optional, Sequence
@@ -283,13 +282,10 @@ class ZeroShotClassifier:
         res["volumes_per_sec"] = n / elapsed
 
         if results_folder:
-            os.makedirs(results_folder, exist_ok=True)
-            np.savez(os.path.join(results_folder, "predicted.npz"), y_pred)
-            np.savez(os.path.join(results_folder, "labels.npz"), y_true)
-            with open(os.path.join(results_folder, "accessions.txt"), "w") as f:
-                f.writelines(f"{a}\n" for a in accessions)
-            with open(os.path.join(results_folder, "aurocs.json"), "w") as f:
-                json.dump(res, f, indent=2)
+            from vit_exp_tpu.eval.metrics import save_inference_artifacts
+
+            save_inference_artifacts(results_folder, y_pred, y_true,
+                                     accessions, res)
         return res
 
 

@@ -177,9 +177,6 @@ class LiProTrainer:
         AUROC, and the reference artifact set (predicted/labels npz,
         accessions.txt, AUROC table) — batched through the same pipelined
         engine loop the zero-shot classifier uses."""
-        import json
-        import os
-
         from vit_exp_tpu.eval.metrics import evaluate_internal
         from vit_exp_tpu.eval.zero_shot import PATHOLOGIES, _one_deep_map
 
@@ -205,12 +202,8 @@ class LiProTrainer:
         res = evaluate_internal(y_pred, y_true, list(PATHOLOGIES[:c]))
 
         if results_folder:
-            os.makedirs(results_folder, exist_ok=True)
-            np.savez(os.path.join(results_folder, "predicted.npz"), y_pred)
-            np.savez(os.path.join(results_folder, "labels.npz"), y_true)
-            with open(os.path.join(results_folder, "accessions.txt"),
-                      "w") as f:
-                f.writelines(f"{a}\n" for a in accessions)
-            with open(os.path.join(results_folder, "aurocs.json"), "w") as f:
-                json.dump(res, f, indent=2)
+            from vit_exp_tpu.eval.metrics import save_inference_artifacts
+
+            save_inference_artifacts(results_folder, y_pred, y_true,
+                                     accessions, res)
         return res
