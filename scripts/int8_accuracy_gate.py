@@ -1,0 +1,225 @@
+#!/usr/bin/env python
+"""Production-shape on-chip int8-vs-bf16 accuracy gate (VERDICT r2
+next-round #2): the int8 serving default stands or falls on this.
+
+Runs the EXACT bench/serve classify program (flagship 768/8-block/24³
+arch, batch 4, cached text latents) twice on the real chip — once with the
+int8 defaults (int8-QK attention + W8A8 FF + W8A8 qkv/out projections,
+heads-packed), once bf16 (pallas_static + pallas FF) — over N synthetic
+volumes with REAL cross-volume spread (per-volume scale/shift so the
+18-label probabilities genuinely vary), and asserts:
+
+1. max |Δ probability| ≤ 0.02      (the parity envelope
+   tests/test_int8_parity.py holds at toy shape, now at production shape
+   on hardware);
+2. per-label rank stability: AUROC of the int8 scores against
+   bf16-median-split labels ≥ 0.995 — i.e. quantization moves no volume
+   across the bf16 ranking by more than 0.5% AUROC (the north-star
+   accuracy tolerance, BASELINE.json), plus Kendall tau per label;
+(The bf16-pallas vs fp32-XLA anchor is NOT run here: plain XLA attention
+materializes the (4, 8, 13824, 13824) logits — ~12 GB — at production
+shape; that pairing is covered by the odd-shape kernel differentials vs
+XLA oracles in tests/test_kernel_shape_grid.py.)
+
+Volumes are generated ON DEVICE inside one jitted loop per path (the axon
+relay charges per-dispatch argument upload, and identical dispatches are
+memoized — see .claude/skills/verify/SKILL.md), with identical PRNG keys
+in both programs so both paths see bit-identical inputs.
+
+Usage:  python scripts/int8_accuracy_gate.py [--volumes 200] [--anchor]
+Reference metric surface: scripts/zero_shot.py:590-602.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def kendall_tau(a: np.ndarray, b: np.ndarray) -> float:
+    """O(n²) Kendall tau-a — fine at n≈200, no scipy dependency."""
+    n = len(a)
+    da = np.sign(a[:, None] - a[None, :])
+    db = np.sign(b[:, None] - b[None, :])
+    iu = np.triu_indices(n, 1)
+    return float(np.mean(da[iu] * db[iu]))
+
+
+def auroc(scores: np.ndarray, labels: np.ndarray) -> float:
+    from sklearn.metrics import roc_auc_score
+
+    return float(roc_auc_score(labels, scores))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--volumes", type=int, default=200)
+    parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--max_prob_delta", type=float, default=0.02)
+    parser.add_argument("--min_rank_auroc", type=float, default=0.995)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    # the container sitecustomize force-registers the TPU plugin and
+    # overrides the JAX_PLATFORMS env var — honor an explicit cpu request
+    # (script self-smoke) via the config API before any backend touch
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    from vit_exp_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from vit_exp_tpu.core.config import ExperimentConfig
+    from vit_exp_tpu.models.bert import BertConfig
+    from vit_exp_tpu.models.ctclip import CTCLIP
+    from vit_exp_tpu.models.factory import build_ctclip
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        arch = {"dim": 768, "image_size": 480, "patch_size": 20,
+                "temporal_size": 240, "temporal_patch_size": 10,
+                "transformer_blocks": 8, "dim_head": 32, "heads": 8}
+        bert_cfg = BertConfig()
+        text_len = 512
+        impls = {"int8": ("pallas_static_int8", "pallas_int8", True),
+                 "bf16": ("pallas_static", "pallas", True)}
+    else:  # CPU smoke of the script itself
+        arch = {"dim": 48, "image_size": 32, "patch_size": 8,
+                "temporal_size": 16, "temporal_patch_size": 4,
+                "transformer_blocks": 2, "dim_head": 8, "heads": 4}
+        bert_cfg = BertConfig.tiny()
+        text_len = 16
+        impls = {"int8": ("xla", "xla", False), "bf16": ("xla", "xla", False)}
+
+    config = ExperimentConfig.from_dict({"arch": arch})
+    a = config.arch
+    batch = args.batch
+    n_batches = max(args.volumes // batch, 1)
+    n_vol = n_batches * batch
+
+    # models per impl (params are impl-independent — init ONCE with the
+    # first serving model; an xla-impl init would materialize the full
+    # (13824, 13824) logits tensor on chip)
+    models = {name: build_ctclip(config, bert_config=bert_cfg,
+                                 attn_impl=ai, ff_impl=fi, fuse_qkv=fq)
+              for name, (ai, fi, fq) in impls.items()}
+    first = next(iter(models.values()))
+    rng = np.random.default_rng(0)
+    video0 = jnp.zeros((1, 1, a.temporal_size, a.image_size, a.image_size),
+                       jnp.bfloat16)
+    prompt_ids = jnp.asarray(
+        rng.integers(0, bert_cfg.vocab_size, (36, text_len)), jnp.int32)
+    prompt_mask = jnp.ones((36, text_len), jnp.int32)
+    params = nn.unbox(first.init(jax.random.PRNGKey(0), video0,
+                                 prompt_ids[:1], prompt_mask[:1]))["params"]
+
+    @jax.jit
+    def cache_text(params, ids, mask):
+        hidden = first.apply({"params": params}, ids, mask,
+                             method=CTCLIP.encode_text_hidden)
+        return first.apply({"params": params}, hidden,
+                           method=CTCLIP.text_latents_from_hidden)
+
+    text_latents = jax.block_until_ready(
+        cache_text(params, prompt_ids, prompt_mask))
+
+    # ONE device-resident base-noise buffer; per-iteration volumes add a
+    # SEPARABLE low-frequency random field (three thin normal vectors
+    # broadcast-added) with a random amplitude.  Why not simpler schemes:
+    # per-volume affine scale/shift is REMOVED by the first LayerNorm
+    # (measured spread 0.0000 at production shape — rank metrics became
+    # coin flips on ties), and fresh full-size jax.random.normal per
+    # iteration allocates multi-GB threefry/f32 temps inside the loop.
+    # The separable field changes per-patch content genuinely (its own
+    # per-slice/row/column randomness), so the 18 probabilities spread.
+    vid0 = jax.block_until_ready(jax.random.normal(
+        jax.random.PRNGKey(42),
+        (batch, 1, a.temporal_size, a.image_size, a.image_size),
+        jnp.bfloat16))
+
+    def make_runner(model):
+        @jax.jit
+        def run(params, text_latents, vid0, seed):
+            def body(i, carry):
+                acc, base = carry
+                k = jax.random.fold_in(jax.random.PRNGKey(seed), i)
+                kd, kh, kw, ka = jax.random.split(k, 4)
+                rd = jax.random.normal(
+                    kd, (batch, 1, a.temporal_size, 1, 1), jnp.bfloat16)
+                rh = jax.random.normal(
+                    kh, (batch, 1, 1, a.image_size, 1), jnp.bfloat16)
+                rw = jax.random.normal(
+                    kw, (batch, 1, 1, 1, a.image_size), jnp.bfloat16)
+                amp = (0.3 + 1.2 * jax.random.uniform(
+                    ka, (batch, 1, 1, 1, 1))).astype(jnp.bfloat16)
+                vid = base + amp * (rd + rh + rw)
+                tokens = model.apply({"params": params}, vid,
+                                     method=CTCLIP.encode_image_tokens)
+                img = model.apply({"params": params}, tokens,
+                                  method=CTCLIP.image_latents_from_tokens)
+                temp = jnp.exp(params["temperature"])
+                scores = (img @ text_latents.T) * temp
+                probs = jax.nn.softmax(
+                    scores.reshape(batch, 18, 2), axis=-1)[..., 0]
+                return acc.at[i].set(probs.astype(jnp.float32)), base
+
+            acc0 = jnp.zeros((n_batches, batch, 18), jnp.float32)
+            acc, _ = jax.lax.fori_loop(0, n_batches, body, (acc0, vid0))
+            return acc
+
+        return run
+
+    results = {}
+    for name, (ai, fi, fq) in impls.items():
+        t0 = time.time()
+        probs = np.asarray(make_runner(models[name])(
+            params, text_latents, vid0, 7)).reshape(n_vol, 18)
+        print(f"{name} ({ai}/{fi}): {n_vol} volumes in "
+              f"{time.time() - t0:.0f}s", flush=True)
+        results[name] = probs
+
+    p_int8, p_bf16 = results["int8"], results["bf16"]
+    dmax = float(np.max(np.abs(p_int8 - p_bf16)))
+    dmean = float(np.mean(np.abs(p_int8 - p_bf16)))
+    spread = float(np.mean(np.std(p_bf16, axis=0)))
+    print(f"probability spread (mean per-label std): {spread:.4f}")
+    print(f"max |Δprob| = {dmax:.5f}   mean |Δprob| = {dmean:.6f}")
+
+    taus, rank_aurocs = [], []
+    for c in range(18):
+        labels = (p_bf16[:, c] > np.median(p_bf16[:, c])).astype(int)
+        if labels.min() == labels.max():
+            continue
+        rank_aurocs.append(auroc(p_int8[:, c], labels))
+        taus.append(kendall_tau(p_bf16[:, c], p_int8[:, c]))
+    min_auroc, min_tau = min(rank_aurocs), min(taus)
+    print(f"per-label rank AUROC (int8 vs bf16-median labels): "
+          f"min {min_auroc:.5f}  mean {np.mean(rank_aurocs):.5f}")
+    print(f"per-label Kendall tau: min {min_tau:.4f}  "
+          f"mean {np.mean(taus):.4f}")
+
+    ok = True
+    if dmax > args.max_prob_delta:
+        print(f"FAIL: max |Δprob| {dmax:.4f} > {args.max_prob_delta}")
+        ok = False
+    if min_auroc < args.min_rank_auroc:
+        print(f"FAIL: rank AUROC {min_auroc:.4f} < {args.min_rank_auroc}")
+        ok = False
+
+    print("INT8 ACCURACY GATE:", "PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

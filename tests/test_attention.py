@@ -272,7 +272,8 @@ def test_fused_ln_qkv_matches_unfused():
         mu = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
         y = (x - mu) * jax.lax.rsqrt(var + 1e-5) * gamma
-        return jnp.vdot(y @ wq, cq) + jnp.vdot(y @ wkv, ckv)
+        # kv from the RAW input (reference attention.py:240-244 quirk)
+        return jnp.vdot(y @ wq, cq) + jnp.vdot(x @ wkv, ckv)
 
     def ours(x, gamma, wq, wkv):
         q, kv = fused_ln_qkv(x, gamma, wq, wkv, block_m=16)
@@ -383,7 +384,8 @@ def test_fused_ln_qkv_int8_close_to_fp32():
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
     y = (x - mu) * jax.lax.rsqrt(var + 1e-5) * gamma
-    q_ref, kv_ref = y @ wq, y @ wkv
+    # kv from the RAW input (reference attention.py:240-244 quirk)
+    q_ref, kv_ref = y @ wq, x @ wkv
 
     q, kv = fused_ln_qkv_int8(x, gamma, wq, wkv, block_m=16)
     for got, ref in ((q, q_ref), (kv, kv_ref)):

@@ -92,7 +92,9 @@ class TorchAttn(nn.Module):
         h, dh = s.heads, s.dh
         xn = F.layer_norm(x, (s.dim,), self.norm.weight, None)
         q = self.to_q(xn).view(b, n, h, dh).transpose(1, 2)
-        k, v = self.to_kv(xn).chunk(2, dim=-1)
+        # reference quirk (attention.py:240-244): kv_input binds BEFORE
+        # x = self.norm(x) — k/v project from the PRE-norm input
+        k, v = self.to_kv(x).chunk(2, dim=-1)
         k = k.view(b, n, h, dh).transpose(1, 2)
         v = v.view(b, n, h, dh).transpose(1, 2)
         nkv = self.null_kv.view(h, s.n_null, 2, dh)

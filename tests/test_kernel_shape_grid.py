@@ -301,7 +301,9 @@ def test_fused_ln_qkv_odd_widths_shape_grid(m, dim, fq, fkv):
     y = (x - mu) * jax.lax.rsqrt(var + 1e-5) * gamma
     np.testing.assert_allclose(np.asarray(q), np.asarray(y @ wq),
                                atol=3e-5, rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(kv), np.asarray(y @ wkv),
+    # kv projects from the RAW (pre-norm) input — the reference binds
+    # kv_input before x = self.norm(x) (attention.py:240-244)
+    np.testing.assert_allclose(np.asarray(kv), np.asarray(x @ wkv),
                                atol=3e-5, rtol=1e-5)
 
 

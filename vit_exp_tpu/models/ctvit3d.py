@@ -114,8 +114,15 @@ class CosineSelfAttention(nn.Module):
             q, kv = proj(
                 x.astype(self.policy.compute_dtype), gamma_ln, wq, wkv)
         else:
-            x = ScaleLayerNorm(policy=self.policy, name="norm")(x)
+            # Reference quirk (attention.py:240-244, BOTH the naive and the
+            # FlashAttention classes): `kv_input = default(context, x)` binds
+            # BEFORE `x = self.norm(x)`, so self-attention k/v project from
+            # the PRE-LayerNorm input; only q sees the normed x.  Real
+            # checkpoints are trained with exactly this, so it is parity,
+            # not a bug to fix (caught by scripts/real_weights_checklist.py
+            # stage 3 against the actual reference module).
             kv_input = x
+            x = ScaleLayerNorm(policy=self.policy, name="norm")(x)
             if context is not None:
                 # cross-attention variant (attention.py:142-146 context norm)
                 kv_input = ScaleLayerNorm(policy=self.policy,

@@ -1,19 +1,29 @@
-"""Fused ScaleLayerNorm → combined q/kv projection (Pallas).
+"""Fused attention-prologue projection (Pallas): q = ScaleLN_γ(x) @ Wq,
+kv = x @ Wkv — in ONE packed matmul.
 
-The attention prologue in CTViT3D is LN(γ-only) → to_q (768→256) →
-to_kv (768→512) (ctvit3d.py:66-78).  Run separately, XLA materializes the
-LN output (85 MB bf16/layer at production shape) and the two narrow
-matmuls tile poorly (~27% MFU measured).  Here:
-- the LN scale γ folds into the weights (no shift: ScaleLayerNorm has no
-  β), exactly like ops/geglu_ff.py's folding;
-- Wq and Wkv concatenate into ONE (768, 768) matmul — six full 128-lane
-  output tiles;
-- LN statistics (μ, 1/σ) come from XLA (they fuse into the producing
-  residual add).
+Reference semantics (attention.py:240-244, both the naive Attention and
+FlashAttention classes): `kv_input = default(context, x)` binds BEFORE
+`x = self.norm(x)`, so for self-attention the k/v projections read the
+PRE-LayerNorm input and only q sees the normed activations.  Production
+checkpoints are trained with exactly this, so the kernel must reproduce it
+(caught by scripts/real_weights_checklist.py stage 3 against the actual
+reference module — the earlier kernel normed both).
 
-Differentiable: the custom VJP mirrors the GEGLU-FF backward minus the
-nonlinearity — recompute y, dW = yᵀ@dy, dγ from the unfolded form, dx via
-the LN backward; dW accumulates in fp32 VMEM scratch.
+Run separately, XLA materializes the LN output (85 MB bf16/layer at
+production shape) and the two narrow matmuls tile poorly (~27% MFU
+measured).  The fusion identity: with γ folded into Wq
+(W'q = γ ⊙ Wq, no shift — ScaleLayerNorm has no β),
+
+    LN_γ(x) @ Wq = ((x − μ)·inv) @ W'q = inv · (x @ W'q − μ · colsum(W'q))
+
+so ONE packed matmul x @ [W'q | Wkv] (six full 128-lane output tiles at
+production shape) followed by a per-row affine correction applied to the q
+columns only.  LN statistics (μ, 1/σ) come from XLA (they fuse into the
+producing residual add).
+
+Differentiable: the custom VJP is plain XLA (training uses the UNFUSED
+path by default — fuse_qkv is a serving switch — so the backward's only
+job is correctness for tests and opt-in training runs).
 """
 
 from __future__ import annotations
@@ -30,15 +40,19 @@ from vit_exp_tpu.ops.geglu_ff import (DEFAULT_BLOCK_M, _interpret_default,
                                       _ln_stats, _pad_rows)
 
 
-def _fwd_kernel(x_ref, mu_ref, inv_ref, w_ref, o_ref):
-    xn = (x_ref[...].astype(jnp.float32) - mu_ref[...]) * inv_ref[...]
-    o_ref[...] = jax.lax.dot_general(
-        xn.astype(w_ref.dtype), w_ref[...], (((1,), (0,)), ((), ())),
+def _fwd_kernel(x_ref, mu_ref, inv_ref, w_ref, c_ref, a_ref, o_ref):
+    t = jax.lax.dot_general(
+        x_ref[...].astype(w_ref.dtype), w_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    )
+    # q columns (a=1): inv·(t − μ·c); kv columns (a=0, c=0): t unchanged
+    a = a_ref[...]
+    o_ref[...] = (t * (1.0 - a)
+                  + a * inv_ref[...] * (t - mu_ref[...] * c_ref[...])
+                  ).astype(o_ref.dtype)
 
 
-def _fwd_impl(x2, mu, inv, wf, block_m, interpret):
+def _fwd_impl(x2, mu, inv, wf, c, a, block_m, interpret):
     M, D = x2.shape
     F = wf.shape[1]
     pad_m = -(-M // block_m) * block_m
@@ -50,6 +64,8 @@ def _fwd_impl(x2, mu, inv, wf, block_m, interpret):
             pl.BlockSpec((block_m, 1), lambda i: (i, 0)),
             pl.BlockSpec((block_m, 1), lambda i: (i, 0)),
             pl.BlockSpec((D, F), lambda i: (0, 0)),
+            pl.BlockSpec((1, F), lambda i: (0, 0)),
+            pl.BlockSpec((1, F), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((block_m, F), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((pad_m, F), x2.dtype),
@@ -58,103 +74,59 @@ def _fwd_impl(x2, mu, inv, wf, block_m, interpret):
         ),
         interpret=interpret,
     )(_pad_rows(x2, pad_m), _pad_rows(mu, pad_m),
-      _pad_rows(inv, pad_m, value=1.0), wf)
+      _pad_rows(inv, pad_m, value=1.0), wf, c, a)
     return out[:M]
 
 
-def _bwd_kernel(x_ref, mu_ref, inv_ref, g_ref, w_ref, do_ref,
-                dx_ref, dw_ref, dg_ref, dwa, dga):
-    i = pl.program_id(0)
-    n_i = pl.num_programs(0)
-
-    @pl.when(i == 0)
-    def _zero():
-        dwa[...] = jnp.zeros_like(dwa)
-        dga[...] = jnp.zeros_like(dga)
-
-    gamma = g_ref[...].astype(jnp.float32)       # (1, D)
-    xn = (x_ref[...].astype(jnp.float32) - mu_ref[...]) * inv_ref[...]
-    y = (xn * gamma).astype(w_ref.dtype)
-    do = do_ref[...]
-    dwa[...] += jax.lax.dot_general(
-        y, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )
-    dy = jax.lax.dot_general(
-        do, w_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dga[...] += jnp.sum(dy * xn, axis=0, keepdims=True)
-    dxn = dy * gamma
-    m1 = jnp.mean(dxn, axis=-1, keepdims=True)
-    m2 = jnp.mean(dxn * xn, axis=-1, keepdims=True)
-    dx_ref[...] = (inv_ref[...] * (dxn - m1 - xn * m2)).astype(dx_ref.dtype)
-
-    @pl.when(i == n_i - 1)
-    def _flush():
-        dw_ref[...] = dwa[...]
-        dg_ref[...] = dga[...]
+def _qkv_consts(wqf, n_kv, dtype):
+    """Per-column affine constants: c = colsum of the (cast) folded Wq for
+    the q columns, 0 for kv; a = 1 on q columns, 0 on kv."""
+    fq = wqf.shape[1]
+    c = jnp.concatenate([
+        jnp.sum(wqf.astype(dtype).astype(jnp.float32), axis=0),
+        jnp.zeros((n_kv,), jnp.float32),
+    ])[None]
+    a = jnp.concatenate([jnp.ones((fq,), jnp.float32),
+                         jnp.zeros((n_kv,), jnp.float32)])[None]
+    return c, a
 
 
-def _bwd_impl(x2, mu, inv, gamma, w, dout, block_m, interpret):
-    M, D = x2.shape
-    F = w.shape[1]
-    cdt = x2.dtype
-    pad_m = -(-M // block_m) * block_m
-    dx, dw, dg = pl.pallas_call(
-        _bwd_kernel,
-        grid=(pad_m // block_m,),
-        in_specs=[
-            pl.BlockSpec((block_m, D), lambda i: (i, 0)),
-            pl.BlockSpec((block_m, 1), lambda i: (i, 0)),
-            pl.BlockSpec((block_m, 1), lambda i: (i, 0)),
-            pl.BlockSpec((1, D), lambda i: (0, 0)),
-            pl.BlockSpec((D, F), lambda i: (0, 0)),
-            pl.BlockSpec((block_m, F), lambda i: (i, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((block_m, D), lambda i: (i, 0)),
-            pl.BlockSpec((D, F), lambda i: (0, 0)),
-            pl.BlockSpec((1, D), lambda i: (0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((pad_m, D), x2.dtype),
-            jax.ShapeDtypeStruct((D, F), jnp.float32),
-            jax.ShapeDtypeStruct((1, D), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((D, F), jnp.float32),
-            pltpu.VMEM((1, D), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=64 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(_pad_rows(x2, pad_m), _pad_rows(mu, pad_m),
-      _pad_rows(inv, pad_m, value=1.0),
-      gamma.astype(jnp.float32)[None, :], w.astype(cdt),
-      _pad_rows(dout.astype(cdt), pad_m))
-    return dx[:M], dw, dg[0]
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _core(x2, gamma, wf, eps, block_m, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _core(x2, gamma, wq, wkv, eps, block_m, interpret):
     mu, inv = _ln_stats(x2, eps)
-    wq = (wf.astype(jnp.float32) * gamma.astype(jnp.float32)[:, None]
-          ).astype(x2.dtype)
-    return _fwd_impl(x2, mu, inv, wq, block_m, interpret)
+    wqf = (wq.astype(jnp.float32) * gamma.astype(jnp.float32)[:, None])
+    wf = jnp.concatenate(
+        [wqf.astype(x2.dtype), wkv.astype(x2.dtype)], axis=1)
+    c, a = _qkv_consts(wqf, wkv.shape[1], x2.dtype)
+    return _fwd_impl(x2, mu, inv, wf, c, a, block_m, interpret)
 
 
-def _core_fwd(x2, gamma, wf, eps, block_m, interpret):
-    out = _core(x2, gamma, wf, eps, block_m, interpret)
-    return out, (x2, gamma, wf)
+def _core_fwd(x2, gamma, wq, wkv, eps, block_m, interpret):
+    out = _core(x2, gamma, wq, wkv, eps, block_m, interpret)
+    return out, (x2, gamma, wq, wkv)
 
 
 def _core_bwd(eps, block_m, interpret, res, dout):
-    x2, gamma, wf = res
+    """Plain-XLA backward: q = (xn·γ)@Wq with xn = (x−μ)·inv, kv = x@Wkv."""
+    x2, gamma, wq, wkv = res
+    fq = wq.shape[1]
     mu, inv = _ln_stats(x2, eps)
-    dx, dw, dg = _bwd_impl(x2, mu, inv, gamma, wf, dout, block_m, interpret)
-    return dx.astype(x2.dtype), dg.astype(gamma.dtype), dw.astype(wf.dtype)
+    xf = x2.astype(jnp.float32)
+    xn = (xf - mu) * inv
+    g32 = gamma.astype(jnp.float32)
+    do = dout.astype(jnp.float32)
+    do_q, do_kv = do[:, :fq], do[:, fq:]
+
+    dwq = (xn * g32).T @ do_q
+    dwqp = do_q @ wq.astype(jnp.float32).T          # (M, D): d(out_q)/d(xn·γ)
+    dgamma = jnp.sum(dwqp * xn, axis=0)
+    dxn = dwqp * g32
+    m1 = jnp.mean(dxn, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxn * xn, axis=-1, keepdims=True)
+    dx = inv * (dxn - m1 - xn * m2) + do_kv @ wkv.astype(jnp.float32).T
+    dwkv = xf.T @ do_kv
+    return (dx.astype(x2.dtype), dgamma.astype(gamma.dtype),
+            dwq.astype(wq.dtype), dwkv.astype(wkv.dtype))
 
 
 _core.defvjp(_core_fwd, _core_bwd)
@@ -170,7 +142,7 @@ def fused_ln_qkv(
     block_m: int = DEFAULT_BLOCK_M,
     interpret: bool | None = None,
 ):
-    """ScaleLayerNorm(γ) → [x@Wq | x@Wkv] in one kernel.
+    """q = ScaleLayerNorm_γ(x) @ Wq, kv = x @ Wkv — one packed kernel.
 
     x: (..., M, D); wq: (D, Fq); wkv: (D, Fkv).
     Returns (q (..., M, Fq), kv (..., M, Fkv)) in x.dtype."""
@@ -179,8 +151,7 @@ def fused_ln_qkv(
     orig = x.shape
     D = x.shape[-1]
     Fq = wq.shape[1]
-    wf = jnp.concatenate([wq, wkv], axis=1)
-    out = _core(x.reshape(-1, D), gamma, wf, eps, block_m, interpret)
+    out = _core(x.reshape(-1, D), gamma, wq, wkv, eps, block_m, interpret)
     out = out.reshape(orig[:-1] + (out.shape[-1],))
     return out[..., :Fq], out[..., Fq:]
 
@@ -189,21 +160,43 @@ def fused_ln_qkv(
 # int8 serving variants (no VJP) — W8A8 on the MXU at 2× the bf16 rate,
 # mirroring ops/geglu_ff.py's quantization scheme: per-output-channel int8
 # weights (quantized per dispatch, checkpoint-layout preserving) and
-# per-token dynamic int8 activations.
+# per-token dynamic int8 activations.  The affine q-correction uses the
+# colsums of the DEQUANTIZED folded Wq so the LN identity holds exactly for
+# the weights actually multiplied.
 # ---------------------------------------------------------------------------
 
 
-def _fwd_int8_kernel(x_ref, mu_ref, inv_ref, w_ref, s_ref, o_ref):
-    xn = (x_ref[...].astype(jnp.float32) - mu_ref[...]) * inv_ref[...]
-    amax = jnp.max(jnp.abs(xn), axis=-1, keepdims=True)
+def _fwd_int8_kernel(x_ref, mu_ref, inv_ref, w_ref, s_ref, c_ref, a_ref,
+                     o_ref):
+    xf = x_ref[...].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     sr = jnp.maximum(amax, 1e-8) / 127.0
-    q8 = jnp.clip(jnp.round(xn / sr), -127, 127).astype(jnp.int8)
+    q8 = jnp.clip(jnp.round(xf / sr), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         q8, w_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    o_ref[...] = (acc.astype(jnp.float32) * sr * s_ref[...]).astype(
-        o_ref.dtype)
+    deq = acc.astype(jnp.float32) * sr * s_ref[...]
+    a = a_ref[...]
+    o_ref[...] = (deq * (1.0 - a)
+                  + a * inv_ref[...] * (deq - mu_ref[...] * c_ref[...])
+                  ).astype(o_ref.dtype)
+
+
+def _int8_weights(gamma, wq, wkv):
+    from vit_exp_tpu.ops.geglu_ff import quantize_per_channel
+
+    wqf = (wq.astype(jnp.float32) * gamma.astype(jnp.float32)[:, None])
+    wf = jnp.concatenate([wqf, wkv.astype(jnp.float32)], axis=1)
+    w8, sc = quantize_per_channel(wf)
+    fq = wq.shape[1]
+    # exact colsums of the weights actually multiplied (dequantized)
+    deq_cols = jnp.sum(w8.astype(jnp.float32), axis=0) * sc
+    c = jnp.concatenate([deq_cols[:fq],
+                         jnp.zeros((wkv.shape[1],), jnp.float32)])[None]
+    a = jnp.concatenate([jnp.ones((fq,), jnp.float32),
+                         jnp.zeros((wkv.shape[1],), jnp.float32)])[None]
+    return w8, sc, c, a
 
 
 def fused_ln_qkv_int8(
@@ -216,22 +209,18 @@ def fused_ln_qkv_int8(
     block_m: int = DEFAULT_BLOCK_M,
     interpret: bool | None = None,
 ):
-    """Serving-only W8A8 fused_ln_qkv: γ folds into the weights BEFORE
-    per-channel quantization, the LN'd activations quantize per token
-    inside the kernel."""
-    from vit_exp_tpu.ops.geglu_ff import quantize_per_channel
-
+    """Serving-only W8A8 fused_ln_qkv: γ folds into Wq BEFORE per-channel
+    quantization, the RAW activations quantize per token inside the kernel
+    (kv needs them raw; q's LN is the affine epilogue)."""
     if interpret is None:
         interpret = _interpret_default()
     orig = x.shape
     D = x.shape[-1]
     Fq = wq.shape[1]
-    wf = jnp.concatenate([wq, wkv], axis=1)
-    wf = (wf.astype(jnp.float32) * gamma.astype(jnp.float32)[:, None])
-    w8, sc = quantize_per_channel(wf)
+    w8, sc, c, a = _int8_weights(gamma, wq, wkv)
     x2 = x.reshape(-1, D)
     M = x2.shape[0]
-    F = wf.shape[1]
+    F = w8.shape[1]
     mu, inv = _ln_stats(x2, eps)
     pad_m = -(-M // block_m) * block_m
     out = pl.pallas_call(
@@ -243,6 +232,8 @@ def fused_ln_qkv_int8(
             pl.BlockSpec((block_m, 1), lambda i: (i, 0)),
             pl.BlockSpec((D, F), lambda i: (0, 0)),
             pl.BlockSpec((1, F), lambda i: (0, 0)),
+            pl.BlockSpec((1, F), lambda i: (0, 0)),
+            pl.BlockSpec((1, F), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((block_m, F), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((pad_m, F), x.dtype),
@@ -251,17 +242,17 @@ def fused_ln_qkv_int8(
         ),
         interpret=interpret,
     )(_pad_rows(x2, pad_m), _pad_rows(mu, pad_m),
-      _pad_rows(inv, pad_m, value=1.0), w8, sc[None, :])
+      _pad_rows(inv, pad_m, value=1.0), w8, sc[None, :], c, a)
     out = out[:M].reshape(orig[:-1] + (F,))
     return out[..., :Fq], out[..., Fq:]
 
 
-def _fwd_int8_kernel_3out(x_ref, mu_ref, inv_ref, w_ref, s_ref,
+def _fwd_int8_kernel_3out(x_ref, mu_ref, inv_ref, w_ref, s_ref, c_ref,
                           oq_ref, ok_ref, ov_ref, *, fq, fk):
-    xn = (x_ref[...].astype(jnp.float32) - mu_ref[...]) * inv_ref[...]
-    amax = jnp.max(jnp.abs(xn), axis=-1, keepdims=True)
+    xf = x_ref[...].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     sr = jnp.maximum(amax, 1e-8) / 127.0
-    q8 = jnp.clip(jnp.round(xn / sr), -127, 127).astype(jnp.int8)
+    q8 = jnp.clip(jnp.round(xf / sr), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         q8, w_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -269,8 +260,10 @@ def _fwd_int8_kernel_3out(x_ref, mu_ref, inv_ref, w_ref, s_ref,
     deq = acc.astype(jnp.float32) * sr * s_ref[...]
     # lane-ALIGNED splits of the accumulator (fq/fk are 128-multiples —
     # Mosaic accepts these; the (m,h·d)→(h,m,d) in-kernel head transpose
-    # does NOT lower: "infer-vector-layout: unsupported shape cast")
-    oq_ref[...] = deq[:, :fq].astype(oq_ref.dtype)
+    # does NOT lower: "infer-vector-layout: unsupported shape cast").
+    # q gets the LN affine correction; k/v are raw-x projections.
+    oq_ref[...] = (inv_ref[...] * (deq[:, :fq] - mu_ref[...] * c_ref[...])
+                   ).astype(oq_ref.dtype)
     ok_ref[...] = deq[:, fq:fq + fk].astype(ok_ref.dtype)
     ov_ref[...] = deq[:, fq + fk:].astype(ov_ref.dtype)
 
@@ -299,8 +292,6 @@ def fused_ln_qkv3_int8(
     Identical quantization to fused_ln_qkv_int8 (per-token activations,
     per-channel folded-γ weights) — outputs are bit-identical to column
     splits of the 2-output form."""
-    from vit_exp_tpu.ops.geglu_ff import quantize_per_channel
-
     if interpret is None:
         interpret = _interpret_default()
     orig = x.shape
@@ -312,12 +303,11 @@ def fused_ln_qkv3_int8(
     assert Fq % LANES == 0 and Fk % LANES == 0, (
         "3-output splits must be lane-aligned; use fused_ln_qkv_int8"
     )
-    wf = jnp.concatenate([wq, wkv], axis=1)
-    wf = (wf.astype(jnp.float32) * gamma.astype(jnp.float32)[:, None])
-    w8, sc = quantize_per_channel(wf)
+    w8, sc, c, _a = _int8_weights(gamma, wq, wkv)
+    cq = c[:, :Fq]
     x2 = x.reshape(-1, D)
     M = x2.shape[0]
-    F = wf.shape[1]
+    F = w8.shape[1]
     mu, inv = _ln_stats(x2, eps)
     pad_m = -(-M // block_m) * block_m
     q, k, v = pl.pallas_call(
@@ -329,6 +319,7 @@ def fused_ln_qkv3_int8(
             pl.BlockSpec((block_m, 1), lambda i: (i, 0)),
             pl.BlockSpec((D, F), lambda i: (0, 0)),
             pl.BlockSpec((1, F), lambda i: (0, 0)),
+            pl.BlockSpec((1, Fq), lambda i: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((block_m, Fq), lambda i: (i, 0)),
@@ -345,7 +336,7 @@ def fused_ln_qkv3_int8(
         ),
         interpret=interpret,
     )(_pad_rows(x2, pad_m), _pad_rows(mu, pad_m),
-      _pad_rows(inv, pad_m, value=1.0), w8, sc[None, :])
+      _pad_rows(inv, pad_m, value=1.0), w8, sc[None, :], cq)
     return (q[:M].reshape(orig[:-1] + (Fq,)),
             k[:M].reshape(orig[:-1] + (Fk,)),
             v[:M].reshape(orig[:-1] + (Fk,)))
