@@ -45,6 +45,9 @@ run bench_bf16  1800 env BENCH_ATTN_IMPL=pallas_static python bench.py
 run bench_train 1800 python bench.py --train
 run convergence 900  env PYTHONPATH=/root/repo:/root/.axon_site \
                      python scripts/train_convergence.py
+# int8 serving-default accuracy gate at production shape (prob delta +
+# rank stability vs bf16 on identical on-device volumes)
+run int8_gate   3000 python scripts/int8_accuracy_gate.py --volumes 200
 run serve_mb4   2400 env PYTHONPATH=/root/repo:/root/.axon_site \
                      python scripts/bench_serve.py --clients 8
 run serve_mb1   2400 env PYTHONPATH=/root/repo:/root/.axon_site \
