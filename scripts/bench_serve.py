@@ -36,6 +36,14 @@ def main(argv=None):
     p.add_argument("--max_batch", type=int, default=4)
     p.add_argument("--batch_window_ms", type=float, default=2.0)
     p.add_argument("--payload", choices=["npy", "list"], default="npy")
+    p.add_argument("--embed_fraction", type=float, default=0.0,
+                   help="fraction of requests routed to /embed instead of "
+                   "/classify (interleaved by request index) — exercises "
+                   "the dispatcher-lock interplay between the "
+                   "micro-batcher and the un-batched embed path")
+    p.add_argument("--assert_p95_ms", type=float, default=None,
+                   help="exit nonzero if the overall p95 latency exceeds "
+                   "this bound (load-test gate)")
     p.add_argument("--int8", action=argparse.BooleanOptionalAction,
                    default=True)
     p.add_argument("--cpu", action="store_true",
@@ -83,8 +91,20 @@ def main(argv=None):
     finally:
         serve_mod.build_server = real_build
     srv = started["server"]
-    url = f"http://127.0.0.1:{srv.server_address[1]}/classify"
+    base_url = f"http://127.0.0.1:{srv.server_address[1]}"
+    url = base_url + "/classify"
     d, h, w = started["expect_shape"]
+
+    import math
+
+    f = min(max(args.embed_fraction, 0.0), 1.0)
+
+    def endpoint_for(i):
+        # even deterministic interleave: request i goes to /embed iff the
+        # cumulative embed quota crosses an integer at i
+        if f > 0 and math.floor((i + 1) * f) > math.floor(i * f):
+            return "/embed"
+        return "/classify"
 
     # every request ships a DISTINCT volume: the axon relay memoizes
     # identical (executable, args) dispatches (verify SKILL.md), so a
@@ -113,17 +133,21 @@ def main(argv=None):
     # ahead (pre-filled before the timer starts), so encode overlaps the
     # in-flight requests and memory stays bounded.
 
-    def post(body):
+    def post(body, path="/classify"):
         req = urllib.request.Request(
-            url, data=body, headers={"Content-Type": "application/json"})
+            base_url + path, data=body,
+            headers={"Content-Type": "application/json"})
         with urllib.request.urlopen(req) as r:
             return json.loads(r.read())
 
     post(encode(args.requests + 1))  # warm the HTTP path
+    if f > 0:
+        post(encode(args.requests + 2), "/embed")
 
     n = args.requests
     lock = threading.Lock()
     lat = []
+    lat_by = {"/classify": [], "/embed": []}
     failures = []
 
     import queue as _queue
@@ -133,7 +157,8 @@ def main(argv=None):
 
     def producer():
         for i in range(n):
-            body_q.put(encode(i))  # distinct volume per request
+            # distinct volume per request, endpoint pinned at encode time
+            body_q.put((encode(i), endpoint_for(i)))
 
     prod = threading.Thread(target=producer, daemon=True)
     prod.start()
@@ -148,16 +173,18 @@ def main(argv=None):
                 if counter["taken"] >= n:
                     return
                 counter["taken"] += 1
-            body = body_q.get()  # a reserved slot always gets a body
+            body, path = body_q.get()  # a reserved slot always gets a body
             t0 = time.perf_counter()
             try:
-                post(body)
+                post(body, path)
             except Exception as e:  # noqa: BLE001 — tallied, not fatal
                 with lock:
-                    failures.append(str(e))
+                    failures.append(f"{path}: {e}")
                 continue
+            dt_req = time.perf_counter() - t0
             with lock:
-                lat.append(time.perf_counter() - t0)
+                lat.append(dt_req)
+                lat_by[path].append(dt_req)
 
     base_stats = dict(srv.batcher.stats)
     t0 = time.perf_counter()
@@ -173,20 +200,39 @@ def main(argv=None):
     if not lat:
         raise SystemExit(f"all {n} requests failed; first: {failures[0]}")
     lat.sort()
-    print(json.dumps({
+
+    def pct(xs, q):
+        return round(xs[min(int(len(xs) * q), len(xs) - 1)] * 1e3, 1)
+
+    p95 = pct(lat, 0.95)
+    out = {
         "clients": args.clients, "requests": n, "completed": len(lat),
         "failed": len(failures), "max_batch": args.max_batch,
         "vol_per_s": round(len(lat) / dt, 3),
-        "p50_ms": round(lat[len(lat) // 2] * 1e3, 1),
-        "p95_ms": round(lat[min(int(len(lat) * 0.95), len(lat) - 1)] * 1e3,
-                        1),
+        "p50_ms": pct(lat, 0.50),
+        "p95_ms": p95,
         "dispatches": stats["dispatches"],
         "mean_batch": round(stats["volumes"] / max(stats["dispatches"], 1),
                             2),
-    }))
-    if failures:
-        print(f"first failure: {failures[0]}", flush=True)
+    }
+    for path, xs in lat_by.items():
+        if xs:
+            xs.sort()
+            key = path.strip("/")
+            out[f"{key}_n"] = len(xs)
+            out[f"{key}_p50_ms"] = pct(xs, 0.50)
+            out[f"{key}_p95_ms"] = pct(xs, 0.95)
+    print(json.dumps(out))
     srv.shutdown()
+    # load-test gate: a serving run with errors or blown tail latency is a
+    # FAILURE, not a statistic
+    if failures:
+        raise SystemExit(
+            f"{len(failures)}/{n} requests failed; first: {failures[0]}")
+    if args.assert_p95_ms is not None and p95 > args.assert_p95_ms:
+        raise SystemExit(
+            f"p95 {p95} ms exceeds the --assert_p95_ms "
+            f"{args.assert_p95_ms} ms bound")
 
 
 if __name__ == "__main__":

@@ -142,6 +142,69 @@ def test_classify_path_restricted_to_data_root(server):
         assert code == 400 and "data root" in body["error"]
 
 
+def test_request_size_cap(server):
+    """Bodies above the auto-sized cap are rejected with 413 BEFORE the
+    server reads them; a malformed Content-Length gets 411."""
+    from vit_exp_tpu.cli.serve import default_request_cap
+
+    cap = default_request_cap((8, 8, 8))
+    vol = np.zeros((1, 8, 8, 8), np.float32)
+    code, body = _post(server, "/classify",
+                       {"volume": vol.tolist(), "pad": "x" * (cap + 1)})
+    assert code == 413 and "cap" in body["error"]
+
+    # same payload without the padding still classifies fine
+    code, body = _post(server, "/classify", {"volume": vol.tolist()})
+    assert code == 200 and "probs" in body
+
+    # non-integer Content-Length → 411 (raw http.client to forge the header)
+    import http.client
+    import urllib.parse
+
+    host = urllib.parse.urlparse(server).netloc
+    conn = http.client.HTTPConnection(host, timeout=10)
+    conn.putrequest("POST", "/classify", skip_host=False)
+    conn.putheader("Content-Type", "application/json")
+    conn.putheader("Content-Length", "not-a-number")
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 411
+    conn.close()
+
+
+def test_mixed_classify_embed_concurrent(server):
+    """Interleaved concurrent /classify and /embed traffic (the dispatcher
+    lock is shared between the micro-batcher and the un-batched embed
+    path) completes error-free with values matching sequential sends."""
+    rng = np.random.default_rng(7)
+    vols = [rng.uniform(-1, 1, (8, 8, 8)).astype(np.float32)
+            for _ in range(8)]
+    paths = ["/classify" if i % 2 == 0 else "/embed"
+             for i in range(len(vols))]
+    sequential = [_post(server, p, {"volume": v.tolist()})[1]
+                  for p, v in zip(paths, vols)]
+
+    results = [None] * len(vols)
+
+    def worker(i):
+        results[i] = _post(server, paths[i], {"volume": vols[i].tolist()})
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(vols))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for (code, body), want, path in zip(results, sequential, paths):
+        assert code == 200
+        if path == "/classify":
+            for k, v in body["probs"].items():
+                np.testing.assert_allclose(v, want["probs"][k], atol=1e-5)
+        else:
+            np.testing.assert_allclose(body["latent"], want["latent"],
+                                       atol=1e-5)
+
+
 def test_classify_path_disabled_without_root():
     from vit_exp_tpu.cli.serve import _decode_volume
 

@@ -193,12 +193,27 @@ class MicroBatcher:
                     done.set()
 
 
+def default_request_cap(expect_shape, channels: int = 1) -> int:
+    """Request-body byte cap sized to the worst legitimate encoding.
+
+    A JSON nested-list float32 prints ~20 bytes/element (base64 .npy is
+    ~5.5 bytes); 32 bytes/element plus 1 MiB of envelope admits every
+    valid payload while rejecting runaway bodies before they are read
+    into memory (one unbounded POST could otherwise hold GBs per
+    handler thread)."""
+    d, h, w = expect_shape
+    return channels * d * h * w * 32 + (1 << 20)
+
+
 def build_server(engine, latent_fn, expect_shape, port: int,
                  host: str = "127.0.0.1", data_root=None,
                  max_batch: int = 4, window_ms: float = 2.0,
-                 pad_all: bool = False, channels: int = 1):
+                 pad_all: bool = False, channels: int = 1,
+                 max_request_bytes: int | None = None):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+    if max_request_bytes is None:
+        max_request_bytes = default_request_cap(expect_shape, channels)
     batcher = MicroBatcher(engine, max_batch=max_batch, window_ms=window_ms,
                            pad_all=pad_all)
     lock = batcher.lock  # /embed dispatches interleave with batches
@@ -229,6 +244,30 @@ def build_server(engine, latent_fn, expect_shape, port: int,
 
             try:
                 n = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                self.close_connection = True
+                self._send(411, {"error": "valid Content-Length required"})
+                return
+            if n > max_request_bytes:
+                # reject WITHOUT buffering: moderately-oversized bodies are
+                # drained in fixed-size chunks (discarded, so memory stays
+                # flat) so the client can read the 413 — responding before
+                # the body is consumed gives clients EPIPE instead of the
+                # error.  Astronomical bodies aren't worth the bandwidth:
+                # close immediately.
+                self.close_connection = True
+                if n <= 8 * max_request_bytes:
+                    left = n
+                    while left > 0:
+                        chunk = self.rfile.read(min(left, 1 << 20))
+                        if not chunk:
+                            break
+                        left -= len(chunk)
+                self._send(413, {
+                    "error": f"request body {n} bytes exceeds the "
+                             f"{max_request_bytes}-byte cap"})
+                return
+            try:
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 arr = _decode_volume(payload, expect_shape, data_root,
                                      channels)
@@ -291,6 +330,11 @@ def main(argv=None):
                         help="how long the dispatcher waits for companion "
                         "requests when the server is idle; under load the "
                         "in-flight dispatch is the natural window")
+    parser.add_argument("--max_request_mb", type=float, default=None,
+                        help="reject request bodies larger than this with "
+                        "413 before reading them (default: auto-sized to "
+                        "the configured volume shape's worst legitimate "
+                        "JSON encoding)")
     parser.add_argument("--mesh", default=None, metavar="DATA,FSDP,MODEL",
                         help="serve from a device mesh, e.g. 4,1,1 (-1 = "
                         "all remaining devices): each dispatch shards its "
@@ -383,7 +427,10 @@ def main(argv=None):
                           host=args.host, data_root=args.data_root,
                           max_batch=args.max_batch,
                           window_ms=args.batch_window_ms,
-                          pad_all=mesh is not None, channels=a.channels)
+                          pad_all=mesh is not None, channels=a.channels,
+                          max_request_bytes=(
+                              None if args.max_request_mb is None
+                              else int(args.max_request_mb * 1e6)))
     print(f"serving on {args.host}:{args.port} "
           f"(volume {expect_shape}, {len(engine.pathologies)} pathologies)",
           flush=True)
