@@ -1,6 +1,24 @@
 """Training convergence smoke on the real TPU — compiled-kernel gradients.
 
-Overfits ONE synthetic batch with the production kernels (static-max
+Two modes:
+
+  python scripts/train_convergence.py [steps=20]      # gradient smoke
+  python scripts/train_convergence.py planted [steps] # LEARNING demo
+
+`planted` (VERDICT r2 #6) is the end-to-end learning demonstration the
+gradient smoke cannot give: a mid-size arch (dim 384, 4 blocks) trained
+through the FULL CTClipTrainer (loader threads, sampler, MultiSteps,
+checkpointing) on the planted-signal task (data/planted.py — blob
+anatomy ↔ reports built from the exact zero-shot prompt sentences), then
+scored with the standard ZeroShotClassifier on a held-out planted set.
+PASS = mean per-attribute AUROC ≥ CONV_AUROC_BOUND (default 0.8) — at
+chance (0.5) for an untrained or non-learning model, so the bound can
+only be met by the model actually learning the image↔text
+correspondence.  Stand-in for the reference's debug-30 integration
+methodology (configs/train_from_scratch/ct_clip_debug_30_v2.yaml:3-12).
+
+The default (no-arg) smoke overfits ONE synthetic batch with the
+production kernels (static-max
 attention fwd + one-pass fused bwd, fused GEGLU-FF fwd+bwd, pallas patch
 stats — all COMPILED, not interpret mode) and asserts the contrastive
 loss drops — the end-to-end gradient check that interpret-mode unit
@@ -22,10 +40,121 @@ CONV_LR/CONV_F32.
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/train_convergence.py [steps=20]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def planted_main():
+    """Full-trainer learning demo on the planted-signal task."""
+    import os
+
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 300
+    bound = float(os.environ.get("CONV_AUROC_BOUND", 0.8))
+
+    import jax
+
+    from vit_exp_tpu.core.compile_cache import enable_compilation_cache
+    from vit_exp_tpu.core.config import ExperimentConfig
+    from vit_exp_tpu.data.planted import (
+        PLANTED_ATTRS,
+        PlantedCTDataset,
+        PlantedInferenceDataset,
+    )
+    from vit_exp_tpu.data.tokenizer import load_tokenizer
+    from vit_exp_tpu.eval.zero_shot import ZeroShotClassifier
+    from vit_exp_tpu.models.factory import bert_config_for, build_ctclip
+    from vit_exp_tpu.train.trainer import CTClipTrainer
+
+    enable_compilation_cache()
+    on_tpu = jax.default_backend() == "tpu"
+    out = os.environ.get("CONV_OUT", "./results/planted_signal")
+    size = os.environ.get("CONV_SIZE", "mid")
+    # mid-size arch per the VERDICT item: dim 384, 4 blocks; 12^3 = 1728
+    # tokens keeps the host-side volume generation off the critical path
+    # on small hosts while still running the production kernel families
+    # (ragged-n paths, covered by tests/test_kernel_shape_grid.py).
+    # CONV_SIZE=tiny is the CPU plumbing smoke.
+    arch, text_enc = {
+        "mid": (
+            {"arch_name": "ctvit_3d", "dim": 384, "image_size": 240,
+             "patch_size": 20, "temporal_size": 120,
+             "temporal_patch_size": 10, "transformer_blocks": 4,
+             "dim_head": 32, "heads": 8},
+            # a 4-layer text tower learns the sentence patterns quickly;
+            # the image side is the mid-size arch under demonstration
+            {"num_hidden_layers": 4, "hidden_size": 384,
+             "num_attention_heads": 6, "intermediate_size": 1536},
+        ),
+        "tiny": (
+            {"arch_name": "ctvit_3d", "dim": 48, "image_size": 32,
+             "patch_size": 8, "temporal_size": 16,
+             "temporal_patch_size": 4, "transformer_blocks": 2,
+             "dim_head": 8, "heads": 4},
+            {"num_hidden_layers": 2, "hidden_size": 32,
+             "num_attention_heads": 2, "intermediate_size": 64},
+        ),
+    }[size]
+    config = ExperimentConfig.from_dict({
+        "random_seed": 0,
+        "results_folder": out,
+        "trainer": {
+            "lr": float(os.environ.get("CONV_LR", 1e-4)),
+            "wd": 0.01,
+            "num_train_steps": steps,
+            "max_grad_norm": 1.0,
+            "save_model_every": 0,       # final save only
+            "eval_model_every": 0,       # scored once, after training
+            "balance_loss_weight": [1.0],
+        },
+        "arch": arch,
+        "train_data_list": [{
+            "name": "planted", "type": "imagereport",
+            "batch_size": int(os.environ.get("CONV_BATCH", 8)),
+            "num_workers": 2,
+        }],
+        "text_encoder": text_enc,
+    })
+    tokenizer = load_tokenizer()
+    bert_cfg = bert_config_for(config, tokenizer)
+    attn_impl = os.environ.get("CONV_ATTN", "pallas" if on_tpu else "xla")
+    ff_impl = os.environ.get("CONV_FF", "pallas" if on_tpu else "xla")
+    model = build_ctclip(config, bert_config=bert_cfg,
+                         attn_impl=attn_impl, ff_impl=ff_impl)
+    train_ds = PlantedCTDataset(64, arch=config.arch, tokenizer=tokenizer,
+                                max_text_len=64, seed=0)
+    print(f"planted({size}): dim {arch['dim']}/{arch['transformer_blocks']} "
+          f"blocks, {steps} steps, attn={attn_impl} ff={ff_impl}, "
+          f"bound={bound}", flush=True)
+    trainer = CTClipTrainer(model, config, datasets=[train_ds])
+    trainer.train()
+
+    # score with the SERVING kernels the engine defaults to on TPU
+    eval_attn = "pallas_static" if on_tpu else "xla"
+    eval_model = build_ctclip(config, bert_config=bert_cfg,
+                              attn_impl=eval_attn, ff_impl=ff_impl,
+                              fuse_qkv=on_tpu)
+    engine = ZeroShotClassifier(
+        eval_model, trainer.state.params, tokenizer,
+        pathologies=list(PLANTED_ATTRS), max_text_len=64, batch_size=4)
+    engine.prepare()
+    res = engine.infer(PlantedInferenceDataset(32, arch=config.arch, seed=1),
+                       results_folder=out)
+    for k, v in sorted(res.items()):
+        print(f"  {k}: {v:.4f}", flush=True)
+    mean_auc = res["mean_auc"]
+    assert np.isfinite(mean_auc), res
+    assert mean_auc >= bound, (
+        f"planted-signal AUROC {mean_auc:.3f} below the {bound} bound "
+        f"(chance = 0.5): the model did not learn the planted "
+        f"correspondence")
+    print(f"PLANTED LEARNING OK: mean AUROC {mean_auc:.3f} >= {bound} "
+          f"(chance 0.5)", flush=True)
 
 
 def main():
@@ -192,4 +321,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if sys.argv[1:2] == ["planted"]:
+        planted_main()
+    else:
+        main()
