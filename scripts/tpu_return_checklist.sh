@@ -57,4 +57,21 @@ run serve_mb1   2400 env PYTHONPATH=/root/repo:/root/.axon_site \
 run bench_cached 1800 env JAX_COMPILATION_CACHE_DIR="$HOME/.cache/vit_exp_tpu/xla" \
                       python bench.py
 
+# LONG stages, opt-in via CHECKLIST_LONG=1 (hours on slow hosts):
+if [ "${CHECKLIST_LONG:-0}" = "1" ]; then
+  # full-trainer sustained integration (VERDICT r2 #1; proven 2026-08-19
+  # — BENCH_NOTES "Sustained production run_train"): flagship arch via
+  # the real packed loader, eval + async-save hooks, then kill/resume
+  if [ ! -d /tmp/synth_packed ]; then
+    run make_shards 1800 python scripts/make_synth_shards.py \
+                         --out /tmp/synth_packed --n 12
+  fi
+  run prod_sustained 14400 python -m vit_exp_tpu.cli.run_train \
+      --config configs/prod_sustained_synth.yaml --synthetic_eval 4
+  # planted-signal LEARNING demo (VERDICT r2 #6): mid-size arch through
+  # the full trainer reaches mean zero-shot AUROC >= 0.8 on held-out data
+  run planted 14400 env PYTHONPATH=/root/repo:/root/.axon_site \
+      python scripts/train_convergence.py planted
+fi
+
 log "checklist complete — logs in $OUT/"
