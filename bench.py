@@ -69,6 +69,10 @@ def bench_train():
     )
     import os
 
+    # longer chains sharpen the paired diff: each diff measures
+    # BENCH_ITERS steps of compute against two ~tens-of-seconds uploads
+    iters = int(os.environ.get("BENCH_ITERS", iters))
+
     # static-max fwd is differentiable (bwd reuses the standard kernels
     # via lse = B + log l) and measured 5% faster end-to-end than the
     # online kernel; BENCH_TRAIN_ATTN/BENCH_TRAIN_REMAT override
@@ -156,7 +160,12 @@ def bench_train():
     # per-dispatch arg upload (~800 MB params+batch ⇒ tens of seconds) has
     # seconds of network variance — repeat the pair and take the median diff
     diffs = []
-    for trial in range(3 if on_tpu else 1):
+    # BENCH_TRIALS > 3 = the paired-band protocol (BENCH_NOTES "train-step
+    # band"): many alternating (run1, runk) pairs in ONE session bound the
+    # relay/measurement variance so the session-to-session 1.54-1.60
+    # spread can be attributed (or not) to the environment
+    trials = int(os.environ.get("BENCH_TRIALS", 3 if on_tpu else 1))
+    for trial in range(trials):
         sa = fresh_state(1 + 1e-6 * (2 * trial + 1))
         t0 = time.perf_counter()
         float(run1(sa, batch_dict).step)
@@ -167,9 +176,17 @@ def bench_train():
         dtk = time.perf_counter() - t0
         diffs.append(dtk - dt1)
         print(f"# trial {trial}: run1 {dt1:.2f}s  run{1 + iters} {dtk:.2f}s "
-              f"diff {dtk - dt1:.2f}s", file=sys.stderr)
+              f"diff {dtk - dt1:.2f}s -> "
+              f"{iters / max(dtk - dt1, 1e-9):.3f} steps/s", file=sys.stderr)
     dt = max(sorted(diffs)[len(diffs) // 2], 1e-9)
     steps_per_sec = iters / dt
+    if trials > 3:  # paired-band protocol: report the spread too
+        rates = sorted(iters / max(d, 1e-9) for d in diffs)
+        print(f"# band over {trials} paired trials: "
+              f"min {rates[0]:.3f} / p25 {rates[trials // 4]:.3f} / "
+              f"median {rates[trials // 2]:.3f} / "
+              f"p75 {rates[(3 * trials) // 4]:.3f} / max {rates[-1]:.3f}",
+              file=sys.stderr)
     print(json.dumps({
         "metric": "contrastive_train_steps_per_sec_per_chip_bs4",
         "value": round(steps_per_sec, 3),

@@ -26,7 +26,7 @@ relay charges per-dispatch argument upload, and identical dispatches are
 memoized — see .claude/skills/verify/SKILL.md), with identical PRNG keys
 in both programs so both paths see bit-identical inputs.
 
-Usage:  python scripts/int8_accuracy_gate.py [--volumes 200] [--anchor]
+Usage:  python scripts/int8_accuracy_gate.py [--volumes 200]
 Reference metric surface: scripts/zero_shot.py:590-602.
 """
 

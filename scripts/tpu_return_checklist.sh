@@ -72,6 +72,10 @@ if [ "${CHECKLIST_LONG:-0}" = "1" ]; then
   # the full trainer reaches mean zero-shot AUROC >= 0.8 on held-out data
   run planted 14400 env PYTHONPATH=/root/repo:/root/.axon_site \
       python scripts/train_convergence.py planted
+  # planted lesion-blob SEG demo: closed-set seg head learns to localize
+  # blobs at uniform random positions — held-out mean dice >= 0.5 (chance ~0)
+  run planted_seg 14400 env PYTHONPATH=/root/repo:/root/.axon_site \
+      python scripts/train_convergence.py planted_seg
 fi
 
 log "checklist complete — logs in $OUT/"

@@ -1,9 +1,11 @@
 """Training convergence smoke on the real TPU — compiled-kernel gradients.
 
-Two modes:
+Three modes:
 
-  python scripts/train_convergence.py [steps=20]      # gradient smoke
-  python scripts/train_convergence.py planted [steps] # LEARNING demo
+  python scripts/train_convergence.py [steps=20]          # gradient smoke
+  python scripts/train_convergence.py planted [steps]     # LEARNING demo
+  python scripts/train_convergence.py planted_seg [steps] # seg-path demo
+                                       (held-out dice ≥ CONV_DICE_BOUND)
 
 `planted` (VERDICT r2 #6) is the end-to-end learning demonstration the
 gradient smoke cannot give: a mid-size arch (dim 384, 4 blocks) trained
@@ -50,40 +52,68 @@ sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def planted_main():
-    """Full-trainer learning demo on the planted-signal task."""
+def planted_main(task: str = "cls"):
+    """Full-trainer learning demo on the planted-signal task.
+
+    task="cls": contrastive image↔report training scored by zero-shot
+    AUROC.  task="seg": closed-set segmentation on planted lesion blobs
+    at uniform random locations (data/planted.py::PlantedSegDataset),
+    scored by held-out mean dice — chance ≈ 0 for a model that did not
+    learn to localize the blobs (VERDICT r2 #6's "synthetic lesion blobs
+    for the seg path" variant; reference surface ct_clip.py:1197-1222).
+    """
     import os
 
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 300
-    bound = float(os.environ.get("CONV_AUROC_BOUND", 0.8))
+    if task == "seg":
+        bound = float(os.environ.get("CONV_DICE_BOUND", 0.5))
+    else:
+        bound = float(os.environ.get("CONV_AUROC_BOUND", 0.8))
 
     import jax
+
+    if os.environ.get("CONV_CPU"):
+        # the container sitecustomize registers the TPU plugin in every
+        # process (JAX_PLATFORMS in the env is already consumed) — tests
+        # pin CPU via jax.config before first backend use
+        jax.config.update("jax_platforms", "cpu")
 
     from vit_exp_tpu.core.compile_cache import enable_compilation_cache
     from vit_exp_tpu.core.config import ExperimentConfig
     from vit_exp_tpu.data.planted import (
         PLANTED_ATTRS,
+        PLANTED_STRUCTS,
         PlantedCTDataset,
         PlantedInferenceDataset,
+        PlantedSegDataset,
+        PlantedSegInferenceDataset,
     )
     from vit_exp_tpu.data.tokenizer import load_tokenizer
-    from vit_exp_tpu.eval.zero_shot import ZeroShotClassifier
+    from vit_exp_tpu.eval.zero_shot import ZeroShotClassifier, ZeroShotSegmenter
     from vit_exp_tpu.models.factory import bert_config_for, build_ctclip
     from vit_exp_tpu.train.trainer import CTClipTrainer
 
     enable_compilation_cache()
     on_tpu = jax.default_backend() == "tpu"
-    out = os.environ.get("CONV_OUT", "./results/planted_signal")
+    out = os.environ.get(
+        "CONV_OUT",
+        "./results/planted_seg" if task == "seg" else "./results/planted_signal")
     size = os.environ.get("CONV_SIZE", "mid")
     # mid-size arch per the VERDICT item: dim 384, 4 blocks; 12^3 = 1728
     # tokens keeps the host-side volume generation off the critical path
     # on small hosts while still running the production kernel families
     # (ragged-n paths, covered by tests/test_kernel_shape_grid.py).
-    # CONV_SIZE=tiny is the CPU plumbing smoke.
+    # 120^3 voxels / patch 10 (same token grid as 240-res / patch 20 but
+    # 4x fewer relay-upload bytes) buys CONTRASTIVE BATCH: at batch 8 the
+    # InfoNCE loss saturates below its ln(b)/b chance floor while held-out
+    # per-attribute AUROC stalls at 0.68 — within-batch discrimination is
+    # solved without disentangling all four attributes.  Batch 32 at the
+    # same per-step upload cost forces the finer code and is what carries
+    # the demo past the bound.  CONV_SIZE=tiny is the CPU plumbing smoke.
     arch, text_enc = {
         "mid": (
-            {"arch_name": "ctvit_3d", "dim": 384, "image_size": 240,
-             "patch_size": 20, "temporal_size": 120,
+            {"arch_name": "ctvit_3d", "dim": 384, "image_size": 120,
+             "patch_size": 10, "temporal_size": 120,
              "temporal_patch_size": 10, "transformer_blocks": 4,
              "dim_head": 32, "heads": 8},
             # a 4-layer text tower learns the sentence patterns quickly;
@@ -100,6 +130,10 @@ def planted_main():
              "num_attention_heads": 2, "intermediate_size": 64},
         ),
     }[size]
+    # cls: batch 32 — the contrastive signal scales with batch (see the
+    # arch comment above); seg: per-sample BCE, batch just amortizes
+    # dispatch, and the (C, D, H, W) voxel masks add host→device bytes
+    batch = int(os.environ.get("CONV_BATCH", 8 if task == "seg" else 32))
     config = ExperimentConfig.from_dict({
         "random_seed": 0,
         "results_folder": out,
@@ -113,9 +147,13 @@ def planted_main():
             "balance_loss_weight": [1.0],
         },
         "arch": arch,
+        "ct_clip_arch": (
+            {"use_seg": True, "seg_head": {"out_dim": len(PLANTED_STRUCTS)}}
+            if task == "seg" else {}),
         "train_data_list": [{
-            "name": "planted", "type": "imagereport",
-            "batch_size": int(os.environ.get("CONV_BATCH", 8)),
+            "name": "planted",
+            "type": "imageseg" if task == "seg" else "imagereport",
+            "batch_size": batch,
             "num_workers": 2,
         }],
         "text_encoder": text_enc,
@@ -126,11 +164,21 @@ def planted_main():
     ff_impl = os.environ.get("CONV_FF", "pallas" if on_tpu else "xla")
     model = build_ctclip(config, bert_config=bert_cfg,
                          attn_impl=attn_impl, ff_impl=ff_impl)
-    train_ds = PlantedCTDataset(64, arch=config.arch, tokenizer=tokenizer,
-                                max_text_len=64, seed=0)
-    print(f"planted({size}): dim {arch['dim']}/{arch['transformer_blocks']} "
-          f"blocks, {steps} steps, attn={attn_impl} ff={ff_impl}, "
-          f"bound={bound}", flush=True)
+    # train-set size >= steps*batch: samples are generated lazily per
+    # index, so a large n is free — and it makes memorization impossible
+    # (the first mid-size TPU run with n=64 drove train loss to 0.09 by
+    # MEMORIZING the 64 volumes and scored only 0.668 held-out AUROC;
+    # single-epoch data forces the model to read the planted signal)
+    train_n = int(os.environ.get("CONV_TRAIN_N", max(64, steps * batch)))
+    if task == "seg":
+        train_ds = PlantedSegDataset(train_n, arch=config.arch, seed=0)
+    else:
+        train_ds = PlantedCTDataset(train_n, arch=config.arch,
+                                    tokenizer=tokenizer,
+                                    max_text_len=64, seed=0)
+    print(f"planted[{task}]({size}): dim {arch['dim']}/"
+          f"{arch['transformer_blocks']} blocks, {steps} steps, "
+          f"attn={attn_impl} ff={ff_impl}, bound={bound}", flush=True)
     trainer = CTClipTrainer(model, config, datasets=[train_ds])
     trainer.train()
 
@@ -139,11 +187,33 @@ def planted_main():
     eval_model = build_ctclip(config, bert_config=bert_cfg,
                               attn_impl=eval_attn, ff_impl=ff_impl,
                               fuse_qkv=on_tpu)
+    if task == "seg":
+        engine = ZeroShotSegmenter(eval_model, trainer.state.params,
+                                   batch_size=2)
+        eval_n = int(os.environ.get("CONV_EVAL_N", 24))
+        res = engine.infer(
+            PlantedSegInferenceDataset(eval_n, arch=config.arch, seed=1),
+            results_folder=out)
+        for k, v in sorted(res.items()):
+            print(f"  {k}: {v:.4f}", flush=True)
+        mean_dice = res["mean_dice"]
+        assert np.isfinite(mean_dice), res
+        assert mean_dice >= bound, (
+            f"planted-seg dice {mean_dice:.3f} below the {bound} bound "
+            f"(chance ≈ 0): the model did not learn to localize the "
+            f"planted lesions")
+        print(f"PLANTED SEG LEARNING OK: mean dice {mean_dice:.3f} >= "
+              f"{bound} (chance ~0)", flush=True)
+        return
     engine = ZeroShotClassifier(
         eval_model, trainer.state.params, tokenizer,
         pathologies=list(PLANTED_ATTRS), max_text_len=64, batch_size=4)
     engine.prepare()
-    res = engine.infer(PlantedInferenceDataset(32, arch=config.arch, seed=1),
+    # 128 held-out samples: at 64 the per-attribute AUROC standard error
+    # (~±0.07) is a meaningful fraction of the bound margin
+    eval_n = int(os.environ.get("CONV_EVAL_N", 128))
+    res = engine.infer(PlantedInferenceDataset(eval_n, arch=config.arch,
+                                               seed=1),
                        results_folder=out)
     for k, v in sorted(res.items()):
         print(f"  {k}: {v:.4f}", flush=True)
@@ -322,6 +392,8 @@ def main():
 
 if __name__ == "__main__":
     if sys.argv[1:2] == ["planted"]:
-        planted_main()
+        planted_main("cls")
+    elif sys.argv[1:2] == ["planted_seg"]:
+        planted_main("seg")
     else:
         main()

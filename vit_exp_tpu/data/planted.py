@@ -48,12 +48,25 @@ _CENTERS = (
 
 
 def planted_report(labels: Sequence[int],
-                   attrs: Sequence[str] = PLANTED_ATTRS) -> str:
-    """Report text = concatenation of the zero-shot prompt sentences."""
-    return " ".join(
+                   attrs: Sequence[str] = PLANTED_ATTRS,
+                   rng: np.random.Generator | None = None) -> str:
+    """Report text = concatenation of the zero-shot prompt sentences.
+
+    With `rng`, the sentence ORDER is shuffled per sample.  This matters
+    for zero-shot transfer: with a fixed canonical order each attribute's
+    sentence lives at one position, and the single-sentence eval prompts
+    are positionally out-of-distribution — measured on TPU, per-attribute
+    AUROC then tracks training position (first 0.83 → last 0.59) instead
+    of content.  Shuffling forces the text tower to encode WHAT the
+    sentence says, not WHERE it sits (real reports order findings freely
+    too)."""
+    sentences = [
         f"{a} is present." if y else f"{a} is not present."
         for a, y in zip(attrs, labels)
-    )
+    ]
+    if rng is not None:
+        sentences = [sentences[i] for i in rng.permutation(len(sentences))]
+    return " ".join(sentences)
 
 
 def _separable_blob(shape, center, sigma_frac, rng):
@@ -110,7 +123,7 @@ class PlantedCTDataset:
         rng = np.random.default_rng((self.seed, index))
         a = self.arch
         labels = _labels_for(rng, len(self.attrs))
-        text = planted_report(labels, self.attrs)
+        text = planted_report(labels, self.attrs, rng=rng)
         item: Dict = {
             "image": planted_volume(
                 rng, labels, (a.temporal_size, a.image_size, a.image_size)),
@@ -145,7 +158,93 @@ class PlantedInferenceDataset:
         return {
             "image": planted_volume(
                 rng, labels, (a.temporal_size, a.image_size, a.image_size)),
-            "text": planted_report(labels, self.attrs),
+            "text": planted_report(labels, self.attrs, rng=rng),
             "onehot": labels,
             "accession": f"planted_{index}.nii.gz",
         }
+
+
+# ---------------------------------------------------------------------------
+# planted SEGMENTATION task — lesion blobs at UNIFORM random locations
+# ---------------------------------------------------------------------------
+
+PLANTED_STRUCTS: Tuple[str, ...] = ("hyperdense lesion", "hypodense lesion")
+
+# class k adds _SEG_GAIN[k]·blob to the volume: localization must be read
+# from APPEARANCE (bright vs dark), not from a memorizable position
+_SEG_GAIN = (0.40, -0.35)
+# mask = blob ≥ this ⇔ voxel within 1.5σ of the (jittered) center
+_SEG_MASK_LEVEL = float(np.exp(-0.5 * 1.5 * 1.5))
+
+
+def planted_seg_sample(rng: np.random.Generator, present: Sequence[int],
+                       shape: Tuple[int, int, int]):
+    """((1, D, H, W) volume, (C, D, H, W) voxel mask) pair for the closed-
+    set seg path (ct_clip.py:1197-1222 training surface).  Each present
+    class plants one smooth blob at a uniform random center in the
+    [0.2, 0.8]³ interior; the ground-truth mask is the blob's 1.5σ
+    ellipsoid, bit-aligned with the intensity bump it thresholds."""
+    d, h, w = shape
+    coarse = rng.standard_normal((3, 4, 4)).astype(np.float32)
+    base = (coarse.repeat(-(-d // 3), 0)[:d]
+                  .repeat(-(-h // 4), 1)[:, :h]
+                  .repeat(-(-w // 4), 2)[:, :, :w])
+    vol = 0.45 + 0.08 * base
+    # uint8 masks: 4× less host→device transfer than f32 (the loss and the
+    # dice runner both cast on device); the reference stores npz uint8 too
+    masks = np.zeros((len(present),) + shape, np.uint8)
+    for k, y in enumerate(present):
+        if y:
+            center = tuple(rng.uniform(0.2, 0.8, 3))
+            blob = _separable_blob(shape, center, 0.08, rng)
+            vol = vol + _SEG_GAIN[k] * blob
+            masks[k] = blob >= _SEG_MASK_LEVEL
+    vol = vol + 0.04 * rng.standard_normal(shape).astype(np.float32)
+    return np.clip(vol, 0.0, 1.0)[None].astype(np.float32), masks
+
+
+class PlantedSegDataset:
+    """imageseg train set with planted lesion blobs (VERDICT r2 #6's seg
+    half): items carry the closed-set step's batch surface
+    (train/steps.py::imageseg_loss — `image` + voxel `seg_mask`)."""
+
+    def __init__(self, n: int = 64, *, arch: ArchConfig | None = None,
+                 seed: int = 0, structs: Sequence[str] = PLANTED_STRUCTS):
+        self.n = n
+        self.arch = arch or ArchConfig()
+        self.seed = seed
+        self.structs = list(structs)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, index: int) -> Dict:
+        rng = np.random.default_rng((self.seed, index, 7))
+        a = self.arch
+        present = (rng.uniform(0, 1, len(self.structs)) < 0.7).astype(int)
+        vol, masks = planted_seg_sample(
+            rng, present, (a.temporal_size, a.image_size, a.image_size))
+        return {"image": vol, "seg_mask": masks, "data_type": "imageseg"}
+
+
+class PlantedSegInferenceDataset:
+    """Held-out dice eval set (ZeroShotSegmenter.infer surface)."""
+
+    def __init__(self, n: int = 16, *, arch: ArchConfig | None = None,
+                 seed: int = 1, structs: Sequence[str] = PLANTED_STRUCTS):
+        self.n = n
+        self.arch = arch or ArchConfig()
+        self.seed = seed
+        self.structs = list(structs)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, index: int) -> Dict:
+        rng = np.random.default_rng((self.seed, index, 13))
+        a = self.arch
+        present = (rng.uniform(0, 1, len(self.structs)) < 0.7).astype(int)
+        vol, masks = planted_seg_sample(
+            rng, present, (a.temporal_size, a.image_size, a.image_size))
+        return {"image": vol, "seg_mask": masks,
+                "accession": f"planted_seg_{index}.nii.gz"}
