@@ -203,6 +203,12 @@ def main(argv=None):
             continue
         rank_aurocs.append(auroc(p_int8[:, c], labels))
         taus.append(kendall_tau(p_bf16[:, c], p_int8[:, c]))
+    if not rank_aurocs:
+        # every label degenerate (zero probability spread) — that is itself
+        # a failure worth a clean verdict, not a min([]) traceback
+        print("INT8 ACCURACY GATE: FAIL (no label had probability spread; "
+              "rank AUROC undefined on all 18 labels)")
+        sys.exit(1)
     min_auroc, min_tau = min(rank_aurocs), min(taus)
     print(f"per-label rank AUROC (int8 vs bf16-median labels): "
           f"min {min_auroc:.5f}  mean {np.mean(rank_aurocs):.5f}")

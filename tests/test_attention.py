@@ -394,6 +394,44 @@ def test_fused_ln_qkv_int8_close_to_fp32():
         assert err < 0.03, err
 
 
+@pytest.mark.parametrize("offset", [5.0, 50.0, 500.0])
+def test_fused_ln_qkv_int8_offset_robust(offset):
+    """Pin the precision envelope under a large constant activation offset
+    (ADVICE r3): the kernels quantize the CENTERED input, so the int8 step
+    tracks the centered std, not |x| — error must stay flat in the offset.
+    Before the centered-quantization fix, q error at offset 50 was 53% of
+    the output std (the per-token scale grew with |x| and the LN identity's
+    cancellation amplified it)."""
+    from vit_exp_tpu.ops.fused_proj import fused_ln_qkv, fused_ln_qkv_int8
+
+    rng = np.random.default_rng(11)
+    M, D, Fq, Fkv = 64, 64, 128, 256
+    x = jnp.asarray(
+        (offset + rng.standard_normal((M, D))).astype(np.float32))
+    gamma = jnp.asarray(
+        (1 + 0.1 * rng.standard_normal(D)).astype(np.float32))
+    wq = jnp.asarray(rng.standard_normal((D, Fq)).astype(np.float32)
+                     / np.sqrt(D))
+    wkv = jnp.asarray(rng.standard_normal((D, Fkv)).astype(np.float32)
+                      / np.sqrt(D))
+
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + 1e-5) * gamma
+    q_ref, kv_ref = y @ wq, x @ wkv
+
+    # envelope relative to the output SPREAD (the offset inflates |kv|
+    # itself; error vs max|ref| would let huge absolute errors pass)
+    q8, kv8 = fused_ln_qkv_int8(x, gamma, wq, wkv, block_m=16)
+    assert float(jnp.max(jnp.abs(q8 - q_ref))) / float(jnp.std(q_ref)) < 0.1
+    assert (float(jnp.max(jnp.abs(kv8 - kv_ref))) / float(jnp.std(kv_ref))
+            < 0.1)
+    # the bf16 fused path must also hold (it computes mu from the same
+    # input, so the cancellation is exact w.r.t. the rounded x)
+    qb, kvb = fused_ln_qkv(x, gamma, wq, wkv, block_m=16)
+    assert float(jnp.max(jnp.abs(qb - q_ref))) / float(jnp.std(q_ref)) < 0.1
+
+
 def test_int8_proj_close_to_fp32():
     from vit_exp_tpu.ops.fused_proj import int8_proj
 

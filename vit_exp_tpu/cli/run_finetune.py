@@ -65,6 +65,11 @@ def main(argv=None):
         # writes meaningless AUROC artifacts
         parser.error("--infer requires --load_head (a trained probe head); "
                      "without it the random-init head would be evaluated")
+    if args.torch_ckpt and not args.pretrained:
+        # --torch_ckpt only qualifies --pretrained; without it the save-time
+        # like= export would torch.load(None) after training completed
+        parser.error("--torch_ckpt requires --pretrained (the reference "
+                     ".pt checkpoint it qualifies)")
 
     import flax.linen as nn
     import jax

@@ -248,6 +248,13 @@ def build_server(engine, latent_fn, expect_shape, port: int,
                 self.close_connection = True
                 self._send(411, {"error": "valid Content-Length required"})
                 return
+            if n < 0:
+                # a negative length would make the cap comparison pass and
+                # rfile.read(-1) read until EOF — the unbounded buffering
+                # the cap exists to prevent
+                self.close_connection = True
+                self._send(400, {"error": "negative Content-Length"})
+                return
             if n > max_request_bytes:
                 # reject WITHOUT buffering: moderately-oversized bodies are
                 # drained in fixed-size chunks (discarded, so memory stays

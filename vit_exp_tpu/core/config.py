@@ -102,6 +102,11 @@ class CTClipArchConfig:
     open_seg_loss_down_factor: int = 1
     open_seg_loss_hyper_config: Dict[str, Any] = dataclasses.field(default_factory=dict)
     fusion_head: Optional[HeadConfig] = None
+    # decoupled contrastive learning (ct_clip.py:497,639, applied at
+    # ct_clip.py:1366-1368): masks the positive pair out of the InfoNCE
+    # denominator.  No shipped reference config sets it, but it is a ctor
+    # capability — reachable here end-to-end via this flag.
+    decoupled_contrastive_learning: bool = False
     # SSL heads — defaulted off in every reference config (run_train.py:150,
     # ct_clip.py:577-610) but reachable end-to-end via these flags
     use_mlm: bool = False
@@ -131,6 +136,8 @@ class CTClipArchConfig:
             open_seg_loss_down_factor=int(d.get("open_seg_loss_down_factor", 1)),
             open_seg_loss_hyper_config=d.get("open_seg_loss_hyper_config", {}) or {},
             fusion_head=fusion,
+            decoupled_contrastive_learning=d.get(
+                "decoupled_contrastive_learning", False),
             use_mlm=d.get("use_mlm", False),
             use_visual_ssl=d.get("use_visual_ssl", False),
             visual_ssl_type=d.get("visual_ssl_type", "simsiam"),

@@ -48,7 +48,10 @@ def save_inference_artifacts(results_folder: str, y_pred: np.ndarray,
         f.writelines(f"{a}\n" for a in accessions)
     with open(os.path.join(results_folder, "aurocs.json"), "w") as f:
         json.dump(res, f, indent=2)
-    keys = list(res)
+    # aurocs.csv mirrors the reference's one-row {label}_auc DataFrame —
+    # keep timing/throughput side-channel keys out of the table (they stay
+    # in aurocs.json, which carries the full res dict)
+    keys = [k for k in res if k.endswith("_auc") or k == "mean_auc"]
     with open(os.path.join(results_folder, "aurocs.csv"), "w") as f:
         f.write(",".join(keys) + "\n")
         f.write(",".join(f"{res[k]}" for k in keys) + "\n")

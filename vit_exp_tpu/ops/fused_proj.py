@@ -168,7 +168,13 @@ def fused_ln_qkv(
 
 def _fwd_int8_kernel(x_ref, mu_ref, inv_ref, w_ref, s_ref, c_ref, a_ref,
                      o_ref):
-    xf = x_ref[...].astype(jnp.float32)
+    # Quantize the CENTERED input: per-token int8 step scales with the
+    # centered std, not |x| — a constant activation offset would otherwise
+    # blow the q path's step size (and the LN identity's cancellation)
+    # linearly (measured 53% of output std at offset 50).  q becomes the
+    # exact inv·(x−μ)@W'q with no correction; kv recovers the raw-x
+    # projection by ADDING μ·colsum(Wkv) — a well-conditioned addition.
+    xf = x_ref[...].astype(jnp.float32) - mu_ref[...]
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     sr = jnp.maximum(amax, 1e-8) / 127.0
     q8 = jnp.clip(jnp.round(xf / sr), -127, 127).astype(jnp.int8)
@@ -178,8 +184,8 @@ def _fwd_int8_kernel(x_ref, mu_ref, inv_ref, w_ref, s_ref, c_ref, a_ref,
     )
     deq = acc.astype(jnp.float32) * sr * s_ref[...]
     a = a_ref[...]
-    o_ref[...] = (deq * (1.0 - a)
-                  + a * inv_ref[...] * (deq - mu_ref[...] * c_ref[...])
+    o_ref[...] = (a * inv_ref[...] * deq
+                  + (1.0 - a) * (deq + mu_ref[...] * c_ref[...])
                   ).astype(o_ref.dtype)
 
 
@@ -190,10 +196,12 @@ def _int8_weights(gamma, wq, wkv):
     wf = jnp.concatenate([wqf, wkv.astype(jnp.float32)], axis=1)
     w8, sc = quantize_per_channel(wf)
     fq = wq.shape[1]
-    # exact colsums of the weights actually multiplied (dequantized)
+    # exact colsums of the weights actually multiplied (dequantized) — the
+    # centered-input kernels correct the KV columns (+μ·colsum(Wkv)); the
+    # q columns need none (LN of the centered input is exact)
     deq_cols = jnp.sum(w8.astype(jnp.float32), axis=0) * sc
-    c = jnp.concatenate([deq_cols[:fq],
-                         jnp.zeros((wkv.shape[1],), jnp.float32)])[None]
+    c = jnp.concatenate([jnp.zeros((fq,), jnp.float32),
+                         deq_cols[fq:]])[None]
     a = jnp.concatenate([jnp.ones((fq,), jnp.float32),
                          jnp.zeros((wkv.shape[1],), jnp.float32)])[None]
     return w8, sc, c, a
@@ -210,8 +218,10 @@ def fused_ln_qkv_int8(
     interpret: bool | None = None,
 ):
     """Serving-only W8A8 fused_ln_qkv: γ folds into Wq BEFORE per-channel
-    quantization, the RAW activations quantize per token inside the kernel
-    (kv needs them raw; q's LN is the affine epilogue)."""
+    quantization; the CENTERED activations (x−μ) quantize per token inside
+    the kernel so the int8 step tracks the centered std rather than |x|
+    (offset-robust — see ADVICE r3), q = inv·deq exactly, and kv recovers
+    the raw-x projection via the affine epilogue +μ·colsum(Wkv)."""
     if interpret is None:
         interpret = _interpret_default()
     orig = x.shape
@@ -249,7 +259,9 @@ def fused_ln_qkv_int8(
 
 def _fwd_int8_kernel_3out(x_ref, mu_ref, inv_ref, w_ref, s_ref, c_ref,
                           oq_ref, ok_ref, ov_ref, *, fq, fk):
-    xf = x_ref[...].astype(jnp.float32)
+    # centered-input quantization (see _fwd_int8_kernel): q is exact
+    # inv·(x−μ)@W'q; k/v recover the raw-x projection via +μ·colsum(Wkv)
+    xf = x_ref[...].astype(jnp.float32) - mu_ref[...]
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     sr = jnp.maximum(amax, 1e-8) / 127.0
     q8 = jnp.clip(jnp.round(xf / sr), -127, 127).astype(jnp.int8)
@@ -261,11 +273,12 @@ def _fwd_int8_kernel_3out(x_ref, mu_ref, inv_ref, w_ref, s_ref, c_ref,
     # lane-ALIGNED splits of the accumulator (fq/fk are 128-multiples —
     # Mosaic accepts these; the (m,h·d)→(h,m,d) in-kernel head transpose
     # does NOT lower: "infer-vector-layout: unsupported shape cast").
-    # q gets the LN affine correction; k/v are raw-x projections.
-    oq_ref[...] = (inv_ref[...] * (deq[:, :fq] - mu_ref[...] * c_ref[...])
-                   ).astype(oq_ref.dtype)
-    ok_ref[...] = deq[:, fq:fq + fk].astype(ok_ref.dtype)
-    ov_ref[...] = deq[:, fq + fk:].astype(ov_ref.dtype)
+    mu = mu_ref[...]
+    oq_ref[...] = (inv_ref[...] * deq[:, :fq]).astype(oq_ref.dtype)
+    ok_ref[...] = (deq[:, fq:fq + fk] + mu * c_ref[:, :fk]
+                   ).astype(ok_ref.dtype)
+    ov_ref[...] = (deq[:, fq + fk:] + mu * c_ref[:, fk:]
+                   ).astype(ov_ref.dtype)
 
 
 def fused_ln_qkv3_int8(
@@ -304,7 +317,7 @@ def fused_ln_qkv3_int8(
         "3-output splits must be lane-aligned; use fused_ln_qkv_int8"
     )
     w8, sc, c, _a = _int8_weights(gamma, wq, wkv)
-    cq = c[:, :Fq]
+    ckv = c[:, Fq:]
     x2 = x.reshape(-1, D)
     M = x2.shape[0]
     F = w8.shape[1]
@@ -319,7 +332,7 @@ def fused_ln_qkv3_int8(
             pl.BlockSpec((block_m, 1), lambda i: (i, 0)),
             pl.BlockSpec((D, F), lambda i: (0, 0)),
             pl.BlockSpec((1, F), lambda i: (0, 0)),
-            pl.BlockSpec((1, Fq), lambda i: (0, 0)),
+            pl.BlockSpec((1, Fkv), lambda i: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((block_m, Fq), lambda i: (i, 0)),
@@ -336,7 +349,7 @@ def fused_ln_qkv3_int8(
         ),
         interpret=interpret,
     )(_pad_rows(x2, pad_m), _pad_rows(mu, pad_m),
-      _pad_rows(inv, pad_m, value=1.0), w8, sc[None, :], cq)
+      _pad_rows(inv, pad_m, value=1.0), w8, sc[None, :], ckv)
     return (q[:M].reshape(orig[:-1] + (Fq,)),
             k[:M].reshape(orig[:-1] + (Fk,)),
             v[:M].reshape(orig[:-1] + (Fk,)))

@@ -77,6 +77,9 @@ def make_train_steps(
         loss = losses.infonce_loss(
             out["text_latents"], out["image_latents"], out["temperature"],
             local_batch_size=local_b,
+            # ct_clip.py:1366-1368 — positive pair masked out of the
+            # denominator when decoupled_contrastive_learning is set
+            decoupled=ca.decoupled_contrastive_learning,
         )
         metrics = {"cl_loss": loss}
         if text_w == 0.0 and image_w == 0.0:
