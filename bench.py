@@ -319,18 +319,43 @@ def main():
     run1, runk = classify_n(1), classify_n(1 + iters)
     float(run1(params, video, text_latents))   # compile 1
     float(runk(params, video, text_latents))   # compile 2
-    # fresh input for the timed dispatches (warmup args would be memoized)
+    # Paired-trial protocol (same structure as bench_train, VERDICT r3 #1):
+    # each trial times a fresh (run1, runk) dispatch pair — the difference
+    # cancels the per-dispatch relay overhead — and the MEDIAN of the
+    # per-trial rates is reported.  A single two-point difference swung the
+    # round-2/3 headlines 25.3 ↔ 29.5 (+17%); the relay's per-dispatch
+    # upload variance is seconds against a ~0.8 s compute delta.
+    # Fresh (perturbed) input per dispatch: identical (executable, args)
+    # pairs are memoized remotely.
     perturb = jax.jit(lambda x, s: x * s)
-    video2 = jax.block_until_ready(perturb(video, jnp.bfloat16(1.0009)))
-    t0 = time.perf_counter()
-    float(run1(params, video2, text_latents))
-    dt1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(runk(params, video2, text_latents))
-    dtk = time.perf_counter() - t0
-    dt = max(dtk - dt1, 1e-9)
-
+    trials = int(os.environ.get("BENCH_TRIALS", 5 if on_tpu else 1))
+    # perturbation steps must be bf16-REPRESENTABLE (eps ≈ 0.0039): a 1e-4
+    # nudge rounds back to exactly 1.0 and the "fresh" args memoize
+    step = 1.0 / 128.0
+    diffs = []
+    for trial in range(trials):
+        va = jax.block_until_ready(
+            perturb(video, jnp.bfloat16(1.0 + step * (2 * trial + 1))))
+        t0 = time.perf_counter()
+        float(run1(params, va, text_latents))
+        dt1 = time.perf_counter() - t0
+        vb = jax.block_until_ready(
+            perturb(video, jnp.bfloat16(1.0 + step * (2 * trial + 2))))
+        t0 = time.perf_counter()
+        float(runk(params, vb, text_latents))
+        dtk = time.perf_counter() - t0
+        diffs.append(dtk - dt1)
+        print(f"# trial {trial}: run1 {dt1:.2f}s  run{1 + iters} {dtk:.2f}s "
+              f"diff {dtk - dt1:.2f}s -> "
+              f"{batch * iters / max(dtk - dt1, 1e-9):.3f} vol/s",
+              file=sys.stderr)
+    dt = max(sorted(diffs)[len(diffs) // 2], 1e-9)
     volumes_per_sec = batch * iters / dt
+    if trials > 1:
+        rates = sorted(batch * iters / max(d, 1e-9) for d in diffs)
+        print(f"# band over {trials} paired trials: min {rates[0]:.3f} / "
+              f"median {rates[trials // 2]:.3f} / max {rates[-1]:.3f} vol/s",
+              file=sys.stderr)
     print(json.dumps({
         "metric": "zero_shot_volumes_per_sec_per_chip",
         "value": round(volumes_per_sec, 3),

@@ -63,6 +63,12 @@ def main(argv=None):
     parser.add_argument("--results", default="results/real_weights")
     parser.add_argument("--skip_oracle", action="store_true",
                         help="skip the torch reference forward (stage 3)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="pin the CPU backend (the container "
+                        "sitecustomize registers the TPU plugin in every "
+                        "process; JAX_PLATFORMS in the env is consumed "
+                        "before this script runs) — used by the stage-4 "
+                        "dress-rehearsal test")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -70,6 +76,9 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from vit_exp_tpu.core.config import load_config
     from vit_exp_tpu.models.convert import (
@@ -211,7 +220,12 @@ def main(argv=None):
         dataset = CTReportInferenceDataset(
             args.data_folder, args.reports_csv, args.labels_csv,
             tokenizer=tokenizer)
-        clf = ZeroShotClassifier(model, params, tokenizer=tokenizer)
+        clf = ZeroShotClassifier(
+            model, params, tokenizer=tokenizer,
+            # the engine default (512, the reference prompt length) must
+            # not exceed the text tower's position table — the tiny BERT
+            # used by the dress rehearsal has only 64 positions
+            max_text_len=min(512, bc.max_position_embeddings))
         res = clf.infer(dataset, results_folder=args.results)
         print({k: round(v, 4) for k, v in res.items()})
         stage("AUROC artifacts written", True, args.results)

@@ -212,11 +212,53 @@ def planted_main(task: str = "cls"):
     # 128 held-out samples: at 64 the per-attribute AUROC standard error
     # (~±0.07) is a meaningful fraction of the bound margin
     eval_n = int(os.environ.get("CONV_EVAL_N", 128))
-    res = engine.infer(PlantedInferenceDataset(eval_n, arch=config.arch,
-                                               seed=1),
-                       results_folder=out)
+    eval_ds = PlantedInferenceDataset(eval_n, arch=config.arch, seed=1)
+    res = engine.infer(eval_ds, results_folder=out)
     for k, v in sorted(res.items()):
         print(f"  {k}: {v:.4f}", flush=True)
+
+    # image-side diagnostic: per-attribute AUROC of a closed-form linear
+    # probe (class-mean direction) on the IMAGE latents of the same eval
+    # set.  Separates image-side feature suppression (probe ≈ 0.5 — the
+    # latent never encoded the attribute) from a text/transfer failure
+    # (probe high while the zero-shot score is low).  Diagnostic only —
+    # fit and scored on the eval set, so it upper-bounds linear
+    # decodability rather than estimating generalization.
+    import jax.numpy as jnp
+
+    from vit_exp_tpu.models.ctclip import CTCLIP
+
+    @jax.jit
+    def _img_latents(p, v):
+        toks = eval_model.apply({"params": p}, v,
+                                method=CTCLIP.encode_image_tokens)
+        return eval_model.apply({"params": p}, toks,
+                                method=CTCLIP.image_latents_from_tokens)
+
+    zs, ys = [], []
+    for i0 in range(0, eval_n, 4):
+        items = [eval_ds[i] for i in range(i0, min(i0 + 4, eval_n))]
+        vols = np.stack([it["image"] for it in items])
+        zs.append(np.asarray(_img_latents(trainer.state.params,
+                                          jnp.asarray(vols))))
+        ys.append(np.stack([it["onehot"] for it in items]))
+    z = np.concatenate(zs)
+    y = np.concatenate(ys)
+
+    def _rank_auroc(score, truth):
+        order = np.argsort(score, kind="stable")
+        rank = np.empty(len(score)); rank[order] = np.arange(1, len(score) + 1)
+        pos = truth > 0.5
+        n1, n0 = int(pos.sum()), int((~pos).sum())
+        if n1 == 0 or n0 == 0:
+            return float("nan")
+        return float((rank[pos].sum() - n1 * (n1 + 1) / 2) / (n1 * n0))
+
+    for k, attr in enumerate(PLANTED_ATTRS):
+        pos = y[:, k] > 0.5
+        w = z[pos].mean(0) - z[~pos].mean(0)
+        print(f"  probe_{attr}_auc: {_rank_auroc(z @ w, y[:, k]):.4f}",
+              flush=True)
     mean_auc = res["mean_auc"]
     assert np.isfinite(mean_auc), res
     assert mean_auc >= bound, (

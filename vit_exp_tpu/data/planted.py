@@ -8,9 +8,10 @@ reference's debug-30 integration methodology (the 30-sample smoke configs,
 configs/train_from_scratch/ct_clip_debug_30_v2.yaml:3-12) that can
 demonstrate end-to-end LEARNING with a pass/fail bound:
 
-- K attributes, each tied to a bright smooth blob at an attribute-specific
-  location (jittered per sample so the model must read anatomy, not
-  memorize voxels);
+- K attributes, each tied to a smooth blob with an attribute-specific
+  location AND appearance (bright/dark × size, _APPEARANCE; centers
+  jittered per sample so the model must read anatomy, not memorize
+  voxels);
 - the paired report is built from EXACTLY the zero-shot prompt sentences
   ("{attr} is present." / "{attr} is not present.",
   eval/zero_shot.py::build_pathology_prompts ≡ reference
@@ -44,6 +45,23 @@ _CENTERS = (
     (0.30, 0.70, 0.70),
     (0.70, 0.30, 0.70),
     (0.70, 0.70, 0.30),
+)
+
+# per-attribute (gain, sigma_frac): each attribute has a DISTINCT visual
+# signature (bright/dark × size), not just a distinct octant.  Run 4 of the
+# on-chip demo (BENCH_NOTES iteration table) plateaued at train loss 0.067
+# ≈ ln(8)/32 — the exact InfoNCE value for discriminating on only TWO of
+# the four bits in batch 32 — with the two unlearned attributes at chance
+# AUROC: with four visually IDENTICAL blobs differing only by octant, the
+# contrastive objective suppresses the redundant features (the classic
+# feature-suppression failure mode).  Real pathologies are visually
+# diverse; making the planted ones so removes the degeneracy while keeping
+# the task a genuine image↔text correspondence.
+_APPEARANCE = (
+    (0.35, 0.10),
+    (-0.35, 0.13),
+    (0.35, 0.07),
+    (-0.35, 0.16),
 )
 
 
@@ -85,16 +103,18 @@ def _separable_blob(shape, center, sigma_frac, rng):
 def planted_volume(rng: np.random.Generator, labels: Sequence[int],
                    shape: Tuple[int, int, int]) -> np.ndarray:
     """(1, D, H, W) float32 volume in [0, 1]: low-frequency background
-    anatomy + one bright blob per present attribute + voxel noise."""
+    anatomy + one blob per present attribute (attribute-specific octant,
+    polarity and size — _CENTERS/_APPEARANCE) + voxel noise."""
     d, h, w = shape
     coarse = rng.standard_normal((3, 4, 4)).astype(np.float32)
     base = (coarse.repeat(-(-d // 3), 0)[:d]
                   .repeat(-(-h // 4), 1)[:, :h]
                   .repeat(-(-w // 4), 2)[:, :, :w])
-    vol = 0.35 + 0.10 * base
+    vol = 0.45 + 0.10 * base
     for k, y in enumerate(labels):
         if y:
-            vol = vol + 0.35 * _separable_blob(shape, _CENTERS[k], 0.10, rng)
+            gain, sigma = _APPEARANCE[k]
+            vol = vol + gain * _separable_blob(shape, _CENTERS[k], sigma, rng)
     vol = vol + 0.05 * rng.standard_normal(shape).astype(np.float32)
     return np.clip(vol, 0.0, 1.0)[None].astype(np.float32)
 

@@ -352,7 +352,10 @@ def save_ctclip_checkpoint(path: str, params: Dict[str, Any],
     would be mangled — the prefix is mandatory, not cosmetic."""
     import torch
 
-    sd = {"module." + k: torch.from_numpy(np.ascontiguousarray(v).copy())
+    # np.array (not ascontiguousarray, which PROMOTES 0-d arrays to (1,)
+    # and would fail the reference's strict load on the scalar temperature —
+    # caught by tests/test_real_weights_rehearsal.py)
+    sd = {"module." + k: torch.from_numpy(np.array(v, copy=True, order="C"))
           for k, v in export_ctclip_state_dict(params, **kwargs).items()}
     torch.save(sd, path)
 
