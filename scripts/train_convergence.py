@@ -142,7 +142,10 @@ def planted_main(task: str = "cls"):
             "wd": 0.01,
             "num_train_steps": steps,
             "max_grad_norm": 1.0,
-            "save_model_every": 0,       # final save only
+            # periodic async saves so a killed session resumes instead of
+            # losing the run (run-5 attempt 1 died at step 128 with
+            # save_model_every=0 and had to restart from scratch)
+            "save_model_every": int(os.environ.get("CONV_SAVE_EVERY", 100)),
             "eval_model_every": 0,       # scored once, after training
             "balance_loss_weight": [1.0],
         },
@@ -179,7 +182,10 @@ def planted_main(task: str = "cls"):
     print(f"planted[{task}]({size}): dim {arch['dim']}/"
           f"{arch['transformer_blocks']} blocks, {steps} steps, "
           f"attn={attn_impl} ff={ff_impl}, bound={bound}", flush=True)
-    trainer = CTClipTrainer(model, config, datasets=[train_ds])
+    # resume_step=-1 = latest checkpoint if one exists (fresh dir → None);
+    # a rerun after a mid-run death continues rather than restarting
+    trainer = CTClipTrainer(model, config, datasets=[train_ds],
+                            resume_step=-1)
     trainer.train()
 
     # score with the SERVING kernels the engine defaults to on TPU
