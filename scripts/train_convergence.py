@@ -6,6 +6,13 @@ Three modes:
   python scripts/train_convergence.py planted [steps]     # LEARNING demo
   python scripts/train_convergence.py planted_seg [steps] # seg-path demo
                                        (held-out dice ≥ CONV_DICE_BOUND)
+  python scripts/train_convergence.py planted_openseg [steps]
+                                       # open-vocab twin: same planted
+                                       # lesions supervised through
+                                       # imageopenseg (prompt-aligned
+                                       # voxel embeddings), scored by
+                                       # dice of thresholded prompt-token
+                                       # similarity ≥ CONV_DICE_BOUND
 
 `planted` (VERDICT r2 #6) is the end-to-end learning demonstration the
 gradient smoke cannot give: a mid-size arch (dim 384, 4 blocks) trained
@@ -65,7 +72,7 @@ def planted_main(task: str = "cls"):
     import os
 
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 300
-    if task == "seg":
+    if task in ("seg", "openseg"):
         bound = float(os.environ.get("CONV_DICE_BOUND", 0.5))
     else:
         bound = float(os.environ.get("CONV_AUROC_BOUND", 0.8))
@@ -85,6 +92,8 @@ def planted_main(task: str = "cls"):
         PLANTED_STRUCTS,
         PlantedCTDataset,
         PlantedInferenceDataset,
+        PlantedOpenSegDataset,
+        PlantedOpenSegInferenceDataset,
         PlantedSegDataset,
         PlantedSegInferenceDataset,
     )
@@ -97,7 +106,9 @@ def planted_main(task: str = "cls"):
     on_tpu = jax.default_backend() == "tpu"
     out = os.environ.get(
         "CONV_OUT",
-        "./results/planted_seg" if task == "seg" else "./results/planted_signal")
+        {"seg": "./results/planted_seg",
+         "openseg": "./results/planted_openseg"}.get(
+            task, "./results/planted_signal"))
     size = os.environ.get("CONV_SIZE", "mid")
     # mid-size arch per the VERDICT item: dim 384, 4 blocks; 12^3 = 1728
     # tokens keeps the host-side volume generation off the critical path
@@ -133,7 +144,18 @@ def planted_main(task: str = "cls"):
     # cls: batch 32 — the contrastive signal scales with batch (see the
     # arch comment above); seg: per-sample BCE, batch just amortizes
     # dispatch, and the (C, D, H, W) voxel masks add host→device bytes
-    batch = int(os.environ.get("CONV_BATCH", 8 if task == "seg" else 32))
+    batch = int(os.environ.get(
+        "CONV_BATCH", 8 if task in ("seg", "openseg") else 32))
+    # open-vocab head config: 16-dim voxel/prompt embeddings (HeadConfig
+    # defaults ≡ reference create_head, ct_clip.py:736-750); factor-2
+    # strided downsample exercises the ct_clip.py:1101-1106 quirk while
+    # keeping the (B, L, h) similarity tensor small
+    openseg_arch = {
+        "use_open_seg": True,
+        "open_seg_loss_type": os.environ.get("CONV_OPENSEG_LOSS",
+                                             "cos_sim_l2"),
+        "open_seg_loss_down_factor": 2,
+    }
     config = ExperimentConfig.from_dict({
         "random_seed": 0,
         "results_folder": out,
@@ -152,10 +174,11 @@ def planted_main(task: str = "cls"):
         "arch": arch,
         "ct_clip_arch": (
             {"use_seg": True, "seg_head": {"out_dim": len(PLANTED_STRUCTS)}}
-            if task == "seg" else {}),
+            if task == "seg" else openseg_arch if task == "openseg" else {}),
         "train_data_list": [{
             "name": "planted",
-            "type": "imageseg" if task == "seg" else "imagereport",
+            "type": {"seg": "imageseg", "openseg": "imageopenseg"}.get(
+                task, "imagereport"),
             "batch_size": batch,
             "num_workers": 2,
         }],
@@ -175,6 +198,10 @@ def planted_main(task: str = "cls"):
     train_n = int(os.environ.get("CONV_TRAIN_N", max(64, steps * batch)))
     if task == "seg":
         train_ds = PlantedSegDataset(train_n, arch=config.arch, seed=0)
+    elif task == "openseg":
+        train_ds = PlantedOpenSegDataset(train_n, arch=config.arch,
+                                         tokenizer=tokenizer,
+                                         max_text_len=64, seed=0)
     else:
         train_ds = PlantedCTDataset(train_n, arch=config.arch,
                                     tokenizer=tokenizer,
@@ -193,6 +220,65 @@ def planted_main(task: str = "cls"):
     eval_model = build_ctclip(config, bert_config=bert_cfg,
                               attn_impl=eval_attn, ff_impl=ff_impl,
                               fuse_qkv=on_tpu)
+    if task == "openseg":
+        # dice of the training objective's own prediction surface:
+        # thresholded (cos+1)/2 similarity between per-voxel embeddings
+        # and the class-prompt embeddings (models/losses.py::_sim01 —
+        # exactly what cos_sim_l2 regresses toward the 0/1 mask).  An
+        # untrained model predicts ~half the voxels ⇒ dice ≈ 2·|G|/L ≈
+        # 0.01 at these blob sizes, so the bound is only reachable by
+        # learning prompt↔voxel alignment.
+        import jax.numpy as jnp
+
+        from vit_exp_tpu.models.ctclip import CTCLIP
+        from vit_exp_tpu.models.losses import _sim01
+
+        factor = config.ct_clip_arch.open_seg_loss_down_factor
+        pid = jnp.asarray(train_ds.prompt_ids)
+        pmask = jnp.asarray(train_ds.prompt_mask)
+
+        @jax.jit
+        def _open_dice(p, video, mask):
+            o = eval_model.apply({"params": p}, video, pid, pmask, factor,
+                                 method=CTCLIP.open_seg_forward)
+            pred = (_sim01(o["seg_preds"], o["prompt_logits"])
+                    >= 0.5).astype(jnp.float32)          # (B, L, C)
+            m = mask[:, :, ::factor, ::factor, ::factor].astype(jnp.float32)
+            b, c = m.shape[:2]
+            t = m.transpose(0, 2, 3, 4, 1).reshape(b, -1, c)
+            inter = jnp.sum(pred * t, axis=1)
+            union = jnp.sum(pred, axis=1) + jnp.sum(t, axis=1)
+            return 2.0 * inter / union   # (B, C); NaN when absent from both
+
+        eval_n = int(os.environ.get("CONV_EVAL_N", 24))
+        eval_ds = PlantedOpenSegInferenceDataset(
+            eval_n, arch=config.arch, seed=1)
+        chunks = []
+        for i0 in range(0, eval_n, 2):
+            items = [eval_ds[i] for i in range(i0, min(i0 + 2, eval_n))]
+            chunks.append(np.asarray(_open_dice(
+                trainer.state.params,
+                jnp.asarray(np.stack([it["image"] for it in items])),
+                jnp.asarray(np.stack([it["seg_mask"] for it in items])))))
+        d = np.concatenate(chunks)                      # (N, C)
+        per_class = np.nanmean(d, axis=0)
+        mean_dice = float(np.nanmean(per_class))
+        os.makedirs(out, exist_ok=True)
+        np.save(os.path.join(out, "dice_scores.npy"), d)
+        with open(os.path.join(out, "dice_scores.txt"), "w") as f:
+            for name, v in zip(PLANTED_STRUCTS, per_class):
+                f.write(f"{name}: {v:.4f}\n")
+                print(f"  {name}_dice: {v:.4f}", flush=True)
+            f.write(f"mean_dice: {mean_dice:.4f}\n")
+        print(f"  mean_dice: {mean_dice:.4f}", flush=True)
+        assert np.isfinite(mean_dice)
+        assert mean_dice >= bound, (
+            f"planted-openseg dice {mean_dice:.3f} below the {bound} bound "
+            f"(chance ≈ 0.01): the model did not learn prompt↔voxel "
+            f"alignment")
+        print(f"PLANTED OPENSEG LEARNING OK: mean dice {mean_dice:.3f} >= "
+              f"{bound} (chance ~0.01)", flush=True)
+        return
     if task == "seg":
         engine = ZeroShotSegmenter(eval_model, trainer.state.params,
                                    batch_size=2)
@@ -443,5 +529,7 @@ if __name__ == "__main__":
         planted_main("cls")
     elif sys.argv[1:2] == ["planted_seg"]:
         planted_main("seg")
+    elif sys.argv[1:2] == ["planted_openseg"]:
+        planted_main("openseg")
     else:
         main()

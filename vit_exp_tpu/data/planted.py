@@ -247,6 +247,74 @@ class PlantedSegDataset:
         return {"image": vol, "seg_mask": masks, "data_type": "imageseg"}
 
 
+class PlantedOpenSegDataset:
+    """imageopenseg train set — the SAME planted lesions as the seg twin,
+    but supervised through the open-vocabulary path (train/steps.py::
+    imageopenseg_loss; ct_clip.py:1060-1129 training surface): items carry
+    the shared pre-tokenized class prompts ("This is region of {name}.",
+    data/datasets.py::PROMPT_TEMPLATES ≡ the reference's seg prompt
+    template) so the model must align per-voxel embeddings with the
+    PROMPT TEXT embedding, not a fixed per-class output channel."""
+
+    def __init__(self, n: int = 64, *, arch: ArchConfig | None = None,
+                 tokenizer=None, max_text_len: int = 64, seed: int = 0,
+                 structs: Sequence[str] = PLANTED_STRUCTS,
+                 prompt_type: str = "this_region"):
+        from vit_exp_tpu.data.datasets import PROMPT_TEMPLATES
+
+        if tokenizer is None:
+            raise ValueError("PlantedOpenSegDataset needs a tokenizer for "
+                             "the class prompts")
+        self.n = n
+        self.arch = arch or ArchConfig()
+        self.seed = seed
+        self.structs = list(structs)
+        template = PROMPT_TEMPLATES[prompt_type]
+        toks = tokenizer([template.format(name=s) for s in self.structs],
+                         max_length=max_text_len)
+        self.prompt_ids = toks["input_ids"]          # (C, L)
+        self.prompt_mask = toks["attention_mask"]    # (C, L)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, index: int) -> Dict:
+        rng = np.random.default_rng((self.seed, index, 17))
+        a = self.arch
+        present = (rng.uniform(0, 1, len(self.structs)) < 0.7).astype(int)
+        vol, masks = planted_seg_sample(
+            rng, present, (a.temporal_size, a.image_size, a.image_size))
+        return {"image": vol, "seg_mask": masks,
+                "prompt_ids": self.prompt_ids,
+                "prompt_mask": self.prompt_mask,
+                "data_type": "imageopenseg"}
+
+
+class PlantedOpenSegInferenceDataset:
+    """Held-out eval set for the open-vocab twin (scored by dice of the
+    thresholded prompt-token similarity — the training objective's own
+    prediction surface, models/losses.py::_sim01 ≥ 0.5)."""
+
+    def __init__(self, n: int = 16, *, arch: ArchConfig | None = None,
+                 seed: int = 1, structs: Sequence[str] = PLANTED_STRUCTS):
+        self.n = n
+        self.arch = arch or ArchConfig()
+        self.seed = seed
+        self.structs = list(structs)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, index: int) -> Dict:
+        rng = np.random.default_rng((self.seed, index, 19))
+        a = self.arch
+        present = (rng.uniform(0, 1, len(self.structs)) < 0.7).astype(int)
+        vol, masks = planted_seg_sample(
+            rng, present, (a.temporal_size, a.image_size, a.image_size))
+        return {"image": vol, "seg_mask": masks,
+                "accession": f"planted_openseg_{index}.nii.gz"}
+
+
 class PlantedSegInferenceDataset:
     """Held-out dice eval set (ZeroShotSegmenter.infer surface)."""
 
