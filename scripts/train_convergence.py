@@ -213,7 +213,13 @@ def planted_main(task: str = "cls"):
     # a rerun after a mid-run death continues rather than restarting
     trainer = CTClipTrainer(model, config, datasets=[train_ds],
                             resume_step=-1)
-    trainer.train()
+    status = trainer.train()
+    if status != "completed":
+        # RSS watchdog / preemption: state is saved; exit EX_TEMPFAIL so
+        # an outer retry loop relaunches (auto-resume continues the run)
+        print(f"training exited early ({status}) — relaunch to resume",
+              flush=True)
+        sys.exit(75)
 
     # score with the SERVING kernels the engine defaults to on TPU
     eval_attn = "pallas_static" if on_tpu else "xla"

@@ -107,6 +107,45 @@ def test_trainer_end_to_end(tmp_path):
     )
 
 
+def test_rss_watchdog_saves_and_resumes(tmp_path, monkeypatch):
+    """RSS watchdog (axon transfer-leak guard): with a ceiling below the
+    process baseline, train() must still make ≥1 step this invocation,
+    then save state and return "mem_exit" instead of running to the OOM
+    killer; a relaunch with resume_step=-1 continues from the saved step
+    and finishes with "completed"."""
+    from vit_exp_tpu.train.trainer import CTClipTrainer
+
+    config = _config(tmp_path)
+    config.train_data_list = config.train_data_list[:1]
+    config.trainer.balance_loss_weight = [1.0]
+    from vit_exp_tpu.core.config import DatasetSamplerConfig
+    config.dataset_sampler = DatasetSamplerConfig()
+    tok = HashTokenizer(vocab_size=128, max_length=12)
+    model = build_ctclip(config, bert_config=BertConfig.tiny(),
+                         policy=FP32_POLICY, dim_latent=16)
+    datasets = [SyntheticCTDataset("imagereport", n=8, arch=config.arch,
+                                   tokenizer=tok, max_text_len=12)]
+    monkeypatch.setenv("VIT_EXP_RSS_EXIT_GB", "0.001")  # < any baseline
+    trainer = CTClipTrainer(
+        model, config, datasets=datasets,
+        mesh_config=MeshConfig(data=-1, fsdp=1, model=1),
+    )
+    status = trainer.train(num_steps=4)
+    assert status == "mem_exit"
+    assert trainer.step == 1              # exactly one step of progress
+    assert 1 in trainer.ckpt.all_steps()  # state saved before exiting
+
+    monkeypatch.delenv("VIT_EXP_RSS_EXIT_GB")
+    trainer2 = CTClipTrainer(
+        model, config, datasets=datasets,
+        mesh_config=MeshConfig(data=-1, fsdp=1, model=1),
+        resume_step=-1,
+    )
+    assert trainer2.step == 1             # auto-resume found the save
+    assert trainer2.train(num_steps=3) == "completed"
+    assert trainer2.step == 3
+
+
 def test_zero_shot_engine_synthetic(tmp_path):
     import flax.linen as nn
     import jax.numpy as jnp

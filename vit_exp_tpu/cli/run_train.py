@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import os
 import subprocess
+import sys
 
 import numpy as np
 
@@ -241,7 +242,12 @@ def main(argv=None):
                             eval_hooks=hooks["eval_hooks"],
                             sample_hooks=hooks["sample_hooks"])
     trainer.install_preemption_handler()
-    trainer.train(num_steps=args.steps)
+    status = trainer.train(num_steps=args.steps)
+    if status == "mem_exit":
+        # RSS watchdog fired (host-side transfer leak / memory pressure):
+        # state is saved; EX_TEMPFAIL tells the launcher to relaunch with
+        # --auto_resume rather than treat the run as finished
+        sys.exit(75)
 
 
 if __name__ == "__main__":

@@ -51,6 +51,39 @@ _BATCH_KEYS = (
 )
 
 
+def _rss_exit_bytes() -> int:
+    """Host-memory ceiling for the RSS watchdog (0 = disabled).
+
+    `VIT_EXP_RSS_EXIT_GB` sets it absolutely; otherwise it is
+    `VIT_EXP_RSS_EXIT_FRAC` (default 0.85) of MemTotal.  Non-Linux hosts
+    (no /proc) disable the watchdog."""
+    gb = os.environ.get("VIT_EXP_RSS_EXIT_GB")
+    if gb is not None:
+        return int(float(gb) * 2**30)
+    frac = float(os.environ.get("VIT_EXP_RSS_EXIT_FRAC", 0.85))
+    if frac <= 0:
+        return 0
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal"):
+                    return int(frac * int(line.split()[1]) * 1024)
+    except OSError:
+        pass
+    return 0
+
+
+def _rss_bytes() -> int:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return 0
+
+
 class CTClipTrainer:
     def __init__(
         self,
@@ -219,10 +252,20 @@ class CTClipTrainer:
                 sig, lambda *_: setattr(self, "_preempted", True))
 
     def train(self, num_steps: Optional[int] = None,
-              profile_dir: Optional[str] = None):
+              profile_dir: Optional[str] = None) -> str:
+        """Run to `num_steps`; returns "completed", "preempted", or
+        "mem_exit".  The mem_exit path is the RSS watchdog: when host RSS
+        crosses the ceiling (_rss_exit_bytes), the loop saves full state
+        and returns instead of letting the kernel OOM-killer SIGKILL the
+        process mid-write.  Needed on axon-relay hosts, where the PJRT
+        client LEAKS every host→device transfer ~1:1 in RSS (measured
+        +189 MB per 189 MB device_put; a 221 MB/step run OOM-kills at
+        ~565 steps on a 132 GB host) — callers relaunch and auto-resume."""
         tcfg = self.trainer_cfg
         total = num_steps or tcfg.num_train_steps
         timer = StepTimer()
+        rss_limit = _rss_exit_bytes()
+        steps_this_session = 0  # watchdog fires only after ≥1 step of
         pending = None  # (step idx, logs w/ device arrays): read 1 step late
 
         def flush_pending():
@@ -250,13 +293,29 @@ class CTClipTrainer:
                 self.ckpt.save(self.step, self.state, wait=True)
                 print(f"preempted at step {self.step}: state saved, exiting",
                       flush=True)
-                return
+                return "preempted"
+            # progress this invocation — a threshold below the process's
+            # baseline RSS must still advance ≥1 step per relaunch
+            if (rss_limit and steps_this_session > 0
+                    and _rss_bytes() >= rss_limit):
+                if profile_dir:
+                    jax.profiler.stop_trace()
+                flush_pending()
+                self.ckpt.save(self.step, self.state, wait=True)
+                print(
+                    f"host RSS {_rss_bytes() / 2**30:.1f} GiB >= "
+                    f"{rss_limit / 2**30:.1f} GiB ceiling at step "
+                    f"{self.step}: state saved, exiting for relaunch "
+                    f"(axon transfer leak — relaunch resumes here)",
+                    flush=True)
+                return "mem_exit"
             with timer:
                 # dispatch step i, then materialize step i-1's metrics while
                 # i computes — in steady state the timer still spans one full
                 # step (dispatch latency + the wait for the previous step)
                 logs = self.train_step()
                 flush_pending()
+            steps_this_session += 1
             logs.update(timer.metrics())
             pending = (self.step, logs)
 
@@ -295,3 +354,4 @@ class CTClipTrainer:
             jax.profiler.stop_trace()
         self.ckpt.save(self.step, self.state, wait=True)
         print("Training complete")
+        return "completed"
