@@ -438,6 +438,13 @@ def main(argv=None):
                           max_request_bytes=(
                               None if args.max_request_mb is None
                               else int(args.max_request_mb * 1e6)))
+    # RSS guard: on axon-relay hosts every uploaded volume leaks host RSS
+    # (BENCH_NOTES "Axon relay HOST-MEMORY LEAK" — ~221 MB/request at
+    # production shape ⇒ OOM-kill after ~500 requests).  Exit EX_TEMPFAIL
+    # before the OOM killer so the supervisor restart is observable.
+    from vit_exp_tpu.utils.memguard import start_rss_guard
+
+    start_rss_guard()
     print(f"serving on {args.host}:{args.port} "
           f"(volume {expect_shape}, {len(engine.pathologies)} pathologies)",
           flush=True)

@@ -43,45 +43,18 @@ from vit_exp_tpu.train.optimizer import build_optimizer
 from vit_exp_tpu.train.sampler import build_dataset_sampler
 from vit_exp_tpu.train.steps import create_train_state, make_train_steps
 from vit_exp_tpu.utils.logging import MetricLogger
+
+# RSS watchdog helpers (axon transfer-leak guard) — shared with cli/serve
+from vit_exp_tpu.utils.memguard import (
+    rss_bytes as _rss_bytes,
+    rss_limit_bytes as _rss_exit_bytes,
+)
 from vit_exp_tpu.utils.profiling import StepTimer
 
 _BATCH_KEYS = (
     "image", "input_ids", "attention_mask", "seg_mask", "prompt_ids",
     "prompt_mask",
 )
-
-
-def _rss_exit_bytes() -> int:
-    """Host-memory ceiling for the RSS watchdog (0 = disabled).
-
-    `VIT_EXP_RSS_EXIT_GB` sets it absolutely; otherwise it is
-    `VIT_EXP_RSS_EXIT_FRAC` (default 0.85) of MemTotal.  Non-Linux hosts
-    (no /proc) disable the watchdog."""
-    gb = os.environ.get("VIT_EXP_RSS_EXIT_GB")
-    if gb is not None:
-        return int(float(gb) * 2**30)
-    frac = float(os.environ.get("VIT_EXP_RSS_EXIT_FRAC", 0.85))
-    if frac <= 0:
-        return 0
-    try:
-        with open("/proc/meminfo") as f:
-            for line in f:
-                if line.startswith("MemTotal"):
-                    return int(frac * int(line.split()[1]) * 1024)
-    except OSError:
-        pass
-    return 0
-
-
-def _rss_bytes() -> int:
-    try:
-        with open("/proc/self/status") as f:
-            for line in f:
-                if line.startswith("VmRSS"):
-                    return int(line.split()[1]) * 1024
-    except OSError:
-        pass
-    return 0
 
 
 class CTClipTrainer:
