@@ -203,9 +203,14 @@ def planted_main(task: str = "cls"):
                                          tokenizer=tokenizer,
                                          max_text_len=64, seed=0)
     else:
-        train_ds = PlantedCTDataset(train_n, arch=config.arch,
-                                    tokenizer=tokenizer,
-                                    max_text_len=64, seed=0)
+        # drop each NEGATIVE sentence with p=0.5 (CONV_DROP_NEG): varies
+        # report length/content per sample so the single-sentence eval
+        # prompts are in-distribution, without adding label collisions
+        # (run-6 lesson — see data/planted.py::planted_report)
+        train_ds = PlantedCTDataset(
+            train_n, arch=config.arch, tokenizer=tokenizer,
+            max_text_len=64, seed=0,
+            drop_neg_p=float(os.environ.get("CONV_DROP_NEG", 0.5)))
     print(f"planted[{task}]({size}): dim {arch['dim']}/"
           f"{arch['transformer_blocks']} blocks, {steps} steps, "
           f"attn={attn_impl} ff={ff_impl}, bound={bound}", flush=True)

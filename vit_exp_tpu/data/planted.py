@@ -57,17 +57,28 @@ _CENTERS = (
 # feature-suppression failure mode).  Real pathologies are visually
 # diverse; making the planted ones so removes the degeneracy while keeping
 # the task a genuine image↔text correspondence.
+#
+# Run 5 (first _APPEARANCE draft: sigmas 0.07-0.16) taught the second half
+# of the lesson: which two bits get learned is set by the blobs' INTEGRATED
+# energy |gain|·σ³ — the patch-mean pooling over 12³ tokens dilutes a
+# σ=0.07 blob ~12× relative to σ=0.16, and the contrastive objective
+# simply learned the two biggest blobs (0.81/0.88 AUROC) while the two
+# smallest sat below chance.  Appearances must therefore be DISTINCT in
+# (polarity, size) but near-EQUAL in integrated energy, or saliency
+# imbalance re-creates the suppression the diversity was meant to remove.
+# These values hold |gain|·σ³ within ~1.7× (vs run 5's 12×).
 _APPEARANCE = (
-    (0.35, 0.10),
-    (-0.35, 0.13),
-    (0.35, 0.07),
-    (-0.35, 0.16),
+    (0.38, 0.120),
+    (-0.35, 0.130),
+    (0.42, 0.115),
+    (-0.33, 0.150),
 )
 
 
 def planted_report(labels: Sequence[int],
                    attrs: Sequence[str] = PLANTED_ATTRS,
-                   rng: np.random.Generator | None = None) -> str:
+                   rng: np.random.Generator | None = None,
+                   drop_neg_p: float = 0.0) -> str:
     """Report text = concatenation of the zero-shot prompt sentences.
 
     With `rng`, the sentence ORDER is shuffled per sample.  This matters
@@ -77,11 +88,25 @@ def planted_report(labels: Sequence[int],
     AUROC then tracks training position (first 0.83 → last 0.59) instead
     of content.  Shuffling forces the text tower to encode WHAT the
     sentence says, not WHERE it sits (real reports order findings freely
-    too)."""
+    too).
+
+    With `drop_neg_p` > 0 (needs `rng`), each NEGATIVE sentence is dropped
+    with that probability — real reports rarely enumerate every absent
+    finding, and training only on full 4-sentence reports leaves the
+    single-sentence eval prompts length-OOD for the text tower.  Dropping
+    negatives varies report length/content per sample WITHOUT adding label
+    collisions (the positive-sentence set still determines the label
+    vector exactly).  At least one sentence is always kept."""
     sentences = [
         f"{a} is present." if y else f"{a} is not present."
         for a, y in zip(attrs, labels)
     ]
+    if rng is not None and drop_neg_p > 0:
+        kept = [s for s, y in zip(sentences, labels)
+                if y or rng.uniform() >= drop_neg_p]
+        if not kept:  # all-absent sample with every negative dropped
+            kept = [sentences[int(rng.integers(len(sentences)))]]
+        sentences = kept
     if rng is not None:
         sentences = [sentences[i] for i in rng.permutation(len(sentences))]
     return " ".join(sentences)
@@ -128,13 +153,15 @@ class PlantedCTDataset:
 
     def __init__(self, n: int = 64, *, arch: ArchConfig | None = None,
                  tokenizer=None, max_text_len: int = 64, seed: int = 0,
-                 attrs: Sequence[str] = PLANTED_ATTRS):
+                 attrs: Sequence[str] = PLANTED_ATTRS,
+                 drop_neg_p: float = 0.0):
         self.n = n
         self.arch = arch or ArchConfig()
         self.tokenizer = tokenizer
         self.max_text_len = max_text_len
         self.seed = seed
         self.attrs = list(attrs)
+        self.drop_neg_p = drop_neg_p
 
     def __len__(self):
         return self.n
@@ -143,7 +170,8 @@ class PlantedCTDataset:
         rng = np.random.default_rng((self.seed, index))
         a = self.arch
         labels = _labels_for(rng, len(self.attrs))
-        text = planted_report(labels, self.attrs, rng=rng)
+        text = planted_report(labels, self.attrs, rng=rng,
+                              drop_neg_p=self.drop_neg_p)
         item: Dict = {
             "image": planted_volume(
                 rng, labels, (a.temporal_size, a.image_size, a.image_size)),
