@@ -203,14 +203,22 @@ def planted_main(task: str = "cls"):
                                          tokenizer=tokenizer,
                                          max_text_len=64, seed=0)
     else:
-        # drop each NEGATIVE sentence with p=0.5 (CONV_DROP_NEG): varies
-        # report length/content per sample so the single-sentence eval
-        # prompts are in-distribution, without adding label collisions
-        # (run-6 lesson — see data/planted.py::planted_report)
+        # CONV_DROP_NEG (default OFF): dropping negative sentences seemed
+        # like it would make the single-sentence eval prompts
+        # in-distribution, but a tiny-scale CPU A/B measured the opposite
+        # — 0.378 mean AUROC with p=0.5 vs 0.772 with p=0 at identical
+        # image-side probes (~0.8 all four attrs).  With negatives
+        # droppable the positive-sentence set alone determines the
+        # labels, so the optimal contrastive text encoder IGNORES the
+        # word "not" — and the untrained "X is not present." prompt axis
+        # leaves the present/absent softmax arbitrarily signed (measured:
+        # consistently INVERTED, all four attrs below chance).  Keeping
+        # every negative forces "not" to be load-bearing.  Knob retained
+        # for experiments.
         train_ds = PlantedCTDataset(
             train_n, arch=config.arch, tokenizer=tokenizer,
             max_text_len=64, seed=0,
-            drop_neg_p=float(os.environ.get("CONV_DROP_NEG", 0.5)))
+            drop_neg_p=float(os.environ.get("CONV_DROP_NEG", 0.0)))
     print(f"planted[{task}]({size}): dim {arch['dim']}/"
           f"{arch['transformer_blocks']} blocks, {steps} steps, "
           f"attn={attn_impl} ff={ff_impl}, bound={bound}", flush=True)
