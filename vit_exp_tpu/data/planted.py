@@ -141,7 +141,12 @@ def planted_volume(rng: np.random.Generator, labels: Sequence[int],
             gain, sigma = _APPEARANCE[k]
             vol = vol + gain * _separable_blob(shape, _CENTERS[k], sigma, rng)
     vol = vol + 0.05 * rng.standard_normal(shape).astype(np.float32)
-    return np.clip(vol, 0.0, 1.0)[None].astype(np.float32)
+    # fp16 on the wire: volumes are [0, 1] with a 0.05 noise floor, so the
+    # ~2^-11 relative rounding is invisible to the task while halving the
+    # host→device bytes (221→110 MB/step at batch 32·120³ — the step-time
+    # AND axon-leak bottleneck); compute casts to bf16 at the tower entry
+    # anyway (core/precision.py)
+    return np.clip(vol, 0.0, 1.0)[None].astype(np.float16)
 
 
 def _labels_for(rng: np.random.Generator, k: int) -> np.ndarray:
@@ -248,7 +253,8 @@ def planted_seg_sample(rng: np.random.Generator, present: Sequence[int],
             vol = vol + _SEG_GAIN[k] * blob
             masks[k] = blob >= _SEG_MASK_LEVEL
     vol = vol + 0.04 * rng.standard_normal(shape).astype(np.float32)
-    return np.clip(vol, 0.0, 1.0)[None].astype(np.float32), masks
+    # fp16 volumes for the same wire-size reason as planted_volume
+    return np.clip(vol, 0.0, 1.0)[None].astype(np.float16), masks
 
 
 class PlantedSegDataset:
