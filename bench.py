@@ -364,6 +364,41 @@ def main():
     }))
 
 
+def _zero_line(train: bool, err: str) -> str:
+    return json.dumps({
+        "metric": ("contrastive_train_steps_per_sec_per_chip_bs4"
+                   if train else "zero_shot_volumes_per_sec_per_chip"),
+        "value": 0.0,
+        "unit": "steps/sec/chip" if train else "volumes/sec/chip",
+        "vs_baseline": 0.0,
+        "error": err,
+    })
+
+
+def _arm_deadline(train: bool, seconds: float = 1500.0):
+    """Whole-run deadline: emit the zero JSON line and exit if the bench
+    hasn't printed its result in time.
+
+    Needed beyond the init probe below: in the relay's FLAPPING failure
+    mode (BENCH_NOTES 2026-08-20) backend init and small ops succeed while
+    the first ≥~2 MB host→device transfer hangs forever — a bench that
+    passed _require_backend would still wedge the driver mid-run."""
+    import os
+    import threading
+
+    def fire():
+        time.sleep(seconds)
+        print(_zero_line(
+            train,
+            f"bench exceeded the {seconds:.0f}s deadline — relay wedged "
+            "mid-run? (flapping-mode transfers hang without erroring)"),
+            flush=True)
+        os._exit(0)
+
+    t = threading.Thread(target=fire, daemon=True)
+    t.start()
+
+
 def _require_backend(train: bool, timeout_s: float = 600.0):
     """Fail fast with a valid JSON line if backend init hangs.
 
@@ -392,20 +427,14 @@ def _require_backend(train: bool, timeout_s: float = 600.0):
             "error",
             f"jax backend init timed out after {timeout_s:.0f}s "
             "(TPU tunnel down?)")
-        print(json.dumps({
-            "metric": ("contrastive_train_steps_per_sec_per_chip_bs4"
-                       if train else "zero_shot_volumes_per_sec_per_chip"),
-            "value": 0.0,
-            "unit": "steps/sec/chip" if train else "volumes/sec/chip",
-            "vs_baseline": 0.0,
-            "error": err,
-        }), flush=True)
+        print(_zero_line(train, err), flush=True)
         os._exit(0)  # the probe thread may be wedged; don't wait on it
 
 
 if __name__ == "__main__":
     train_mode = "--train" in sys.argv
     _require_backend(train_mode)
+    _arm_deadline(train_mode)
     if train_mode:
         bench_train()
     else:
