@@ -25,9 +25,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import sys
+import threading
 import time
 
 import numpy as np
+
+# set the moment the real result JSON line is printed: the whole-run
+# deadline (_arm_deadline) must not append a second zero line after it
+_RESULT_PRINTED = threading.Event()
 
 # See BASELINE.md "Derivation" — midpoint of the 6-12 vol/s data-bound range
 # (GPU-side ceiling 20-26 vol/s), generous to the reference.
@@ -192,7 +197,8 @@ def bench_train():
         "value": round(steps_per_sec, 3),
         "unit": "steps/sec/chip",
         "vs_baseline": round(steps_per_sec / BASELINE_TRAIN_STEPS_PER_SEC, 3),
-    }))
+    }), flush=True)
+    _RESULT_PRINTED.set()
 
 
 def main():
@@ -361,7 +367,8 @@ def main():
         "value": round(volumes_per_sec, 3),
         "unit": "volumes/sec/chip",
         "vs_baseline": round(volumes_per_sec / BASELINE_VOLUMES_PER_SEC, 3),
-    }))
+    }), flush=True)
+    _RESULT_PRINTED.set()
 
 
 def _zero_line(train: bool, err: str) -> str:
@@ -382,17 +389,22 @@ def _arm_deadline(train: bool, seconds: float = 1500.0):
     Needed beyond the init probe below: in the relay's FLAPPING failure
     mode (BENCH_NOTES 2026-08-20) backend init and small ops succeed while
     the first ≥~2 MB host→device transfer hangs forever — a bench that
-    passed _require_backend would still wedge the driver mid-run."""
+    passed _require_backend would still wedge the driver mid-run.
+
+    If the REAL result line already printed (_RESULT_PRINTED) but the
+    process then wedged in teardown, fire() exits WITHOUT printing a
+    second (zero) JSON line — the driver must see exactly one."""
     import os
     import threading
 
     def fire():
         time.sleep(seconds)
-        print(_zero_line(
-            train,
-            f"bench exceeded the {seconds:.0f}s deadline — relay wedged "
-            "mid-run? (flapping-mode transfers hang without erroring)"),
-            flush=True)
+        if not _RESULT_PRINTED.is_set():
+            print(_zero_line(
+                train,
+                f"bench exceeded the {seconds:.0f}s deadline — relay wedged "
+                "mid-run? (flapping-mode transfers hang without erroring)"),
+                flush=True)
         os._exit(0)
 
     t = threading.Thread(target=fire, daemon=True)

@@ -160,7 +160,13 @@ def planted_main(task: str = "cls"):
         "random_seed": 0,
         "results_folder": out,
         "trainer": {
-            "lr": float(os.environ.get("CONV_LR", 1e-4)),
+            # 2e-4 with a short linear warmup: the run-6 curve at constant
+            # 1e-4 plateaued from step ~100 (0.075 → 0.060 over 300 steps,
+            # 1.9 nats above the 4-bit InfoNCE floor) — optimization-, not
+            # signal-limited.  Warmup keeps the higher peak stable at
+            # dim 384 (max_grad_norm 1.0 is the backstop).
+            "lr": float(os.environ.get("CONV_LR", 2e-4)),
+            "warmup_steps": int(os.environ.get("CONV_WARMUP", 30)),
             "wd": 0.01,
             "num_train_steps": steps,
             "max_grad_norm": 1.0,

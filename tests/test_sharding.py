@@ -240,6 +240,71 @@ def test_sharded_openseg_step_matches_single_device():
         rtol=2e-5)
 
 
+def test_seq_sharded_contrastive_train_step_matches_unsharded():
+    """Full CTCLIP contrastive train-step math — InfoNCE loss AND parameter
+    gradients — with the image tower sequence-sharded over a ('seq',) mesh
+    (CTViT3D(seq_axis="seq") + ring attention under shard_map) equals the
+    unsharded model with the same params (VERDICT r4 #4: previously only
+    the tower encode and the raw ring kernel were value-checked; this
+    covers the whole training objective through the sharded tower)."""
+    import flax.linen as nn
+    from jax import shard_map
+
+    from vit_exp_tpu.core.config import ExperimentConfig
+    from vit_exp_tpu.core.precision import Policy
+    from vit_exp_tpu.models.bert import BertConfig
+    from vit_exp_tpu.models.ctclip import CTCLIP
+    from vit_exp_tpu.models.ctvit3d import CTViT3D
+
+    fp32 = Policy(param_dtype=jnp.float32, compute_dtype=jnp.float32,
+                  reduce_dtype=jnp.float32)
+    kw = dict(dim=24, image_size=8, patch_size=4, temporal_size=8,
+              temporal_patch_size=4, transformer_blocks=2, dim_head=4,
+              heads=2, policy=fp32)
+    clip_arch = ExperimentConfig.from_dict({}).ct_clip_arch
+    bert_cfg = BertConfig.tiny()
+
+    def clip(visual):
+        return CTCLIP(visual=visual, bert_config=bert_cfg,
+                      dim_text=bert_cfg.hidden_size, dim_image=24,
+                      dim_latent=16, clip_arch=clip_arch, policy=fp32)
+
+    ref_model = clip(CTViT3D(attn_impl="xla", **kw))
+    ring_model = clip(CTViT3D(attn_impl="ring", seq_axis="seq",
+                              ring_chunk_impl="xla", **kw))
+
+    rng = np.random.default_rng(3)
+    video = jnp.asarray(rng.standard_normal((2, 1, 8, 8, 8)), jnp.float32)
+    ids = jnp.asarray(rng.integers(1, 100, (2, 12)), jnp.int32)
+    amask = jnp.ones((2, 12), jnp.int32)
+    params = nn.unbox(ref_model.init(
+        jax.random.PRNGKey(0), video[:1], ids[:1], amask[:1]))["params"]
+
+    def objective(model, p):
+        out = model.apply({"params": p}, video, ids, amask)
+        return losses.infonce_loss(
+            out["text_latents"], out["image_latents"], out["temperature"],
+            local_batch_size=2)
+
+    # 2·2·2 = 8 tokens over 4 seq shards → chunk 2; params/batch replicated,
+    # the tower slices its own token chunk internally (ctvit3d.py:318-326)
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:4]), ("seq",))
+    seq_loss = shard_map(
+        lambda p: objective(ring_model, p),
+        mesh=mesh, in_specs=(P(),), out_specs=P(), check_vma=False)
+
+    l_ref, g_ref = jax.value_and_grad(
+        lambda p: objective(ref_model, p))(params)
+    l_ring, g_ring = jax.jit(jax.value_and_grad(seq_loss))(params)
+
+    np.testing.assert_allclose(float(l_ring), float(l_ref), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4),
+        g_ring, g_ref,
+    )
+
+
 def test_seg_and_openseg_steps_run():
     import flax.linen as nn
 

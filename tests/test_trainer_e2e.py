@@ -294,6 +294,67 @@ def test_preemption_checkpoint(tmp_path):
     assert trainer2.step == trainer.step
 
 
+def test_run_train_planted_mixed(tmp_path):
+    """The reference's flagship mixed multi-dataset workflow through the
+    run_train CLI (VERDICT r4 #5; CTCLIPTrainer.py:232-268,584-652):
+    DatasetSampler interleaves planted imagereport + imageseg +
+    imageopenseg datasets with balance weights, all three jitted steps
+    dispatch, and the zero-shot eval hook fires on the held-out planted
+    set (scored over the 4 planted attributes).  Tiny twin of
+    configs/planted_mixed.yaml."""
+    import yaml
+
+    from vit_exp_tpu.cli.run_train import main
+
+    cfg = {
+        "random_seed": 0,
+        "results_folder": str(tmp_path / "run"),
+        "trainer": {"lr": 1e-3, "num_train_steps": 6,
+                    "save_model_every": 0, "eval_model_every": 6,
+                    "balance_loss_weight": [1.0, 1.0, 1.0]},
+        "arch": {"dim": 24, "image_size": 8, "patch_size": 4,
+                 "temporal_size": 8, "temporal_patch_size": 4,
+                 "transformer_blocks": 1, "dim_head": 4, "heads": 2},
+        "ct_clip_arch": {
+            "use_seg": True, "seg_head": {"out_dim": 2},
+            "use_open_seg": True,
+            "open_seg_loss_type": "weighted_bce_loss",
+            "open_seg_loss_down_factor": 2,
+        },
+        "text_encoder": {"num_hidden_layers": 1, "hidden_size": 16,
+                         "num_attention_heads": 2,
+                         "intermediate_size": 32},
+        "train_data_list": [
+            {"name": "cls", "type": "imagereport", "planted": True,
+             "n": 64, "batch_size": 2},
+            {"name": "seg", "type": "imageseg", "planted": True,
+             "n": 64, "batch_size": 2},
+            {"name": "openseg", "type": "imageopenseg", "planted": True,
+             "n": 64, "batch_size": 2},
+        ],
+        "valid_test_list": ["zero_shot_cls_planted", "seg_test_planted"],
+        "DatasetSampler": {"type": "Combined",
+                           "acc_steps_list": [1, 1, 1]},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    main(["--config", str(cfg_path), "--steps", "6"])
+
+    lines = [json.loads(l) for l in
+             open(os.path.join(str(tmp_path / "run"), "metrics.jsonl"))]
+    keys = set().union(*(l.keys() for l in lines))
+    # all three data types actually dispatched their jitted step
+    assert "ds0_cl_loss" in keys, keys
+    assert "ds1_seg_loss" in keys, keys
+    assert "ds2_open_seg_loss" in keys, keys
+    # the in-training eval hooks fired and logged planted-attribute AUROCs
+    assert any(k.startswith("eval/zero_shot_cls_planted/") for k in keys), keys
+    assert any(k.startswith("eval/seg_test_planted/") for k in keys), keys
+    cls_keys = [k for k in keys
+                if k.startswith("eval/zero_shot_cls_planted/")]
+    assert any("cardiomegaly" in k for k in cls_keys), cls_keys
+
+
 def test_run_train_cli_mesh(tmp_path):
     """run_train --mesh wires a (data,fsdp,model) MeshConfig through the
     CLI: yaml `mesh:` section applies, the flag overrides it, and a tiny

@@ -54,6 +54,28 @@ def build_datasets(config, tokenizer, synthetic: int = 0):
     datasets = []
     for spec in config.train_data_list:
         dtype = spec.get("type", "imagereport")
+        if spec.get("planted"):
+            # planted-signal integration datasets (data/planted.py) — the
+            # offline stand-in for the reference's debug-30 smoke configs
+            # (ct_clip_debug_30_v2.yaml:3-12); `n` defaults large enough
+            # that short runs are single-epoch (no memorization)
+            from vit_exp_tpu.data import planted
+
+            n = int(spec.get("n", 4096))
+            if dtype == "imagereport":
+                datasets.append(planted.PlantedCTDataset(
+                    n, arch=config.arch, tokenizer=tokenizer,
+                    max_text_len=64))
+            elif dtype == "imageseg":
+                datasets.append(planted.PlantedSegDataset(
+                    n, arch=config.arch))
+            elif dtype == "imageopenseg":
+                datasets.append(planted.PlantedOpenSegDataset(
+                    n, arch=config.arch, tokenizer=tokenizer,
+                    max_text_len=64))
+            else:
+                raise ValueError(f"unknown planted dataset type {dtype!r}")
+            continue
         if dtype == "imagereport":
             if spec.get("packed"):
                 # memmap shards written by cli/pack_dataset.py — no
@@ -192,8 +214,23 @@ def main(argv=None):
         from vit_exp_tpu.eval.hooks import build_eval_hooks
 
         cls_ds = seg_ds = open_ds = None
+        cls_pathologies, cls_max_text_len = None, 512
         valid = config.extra.get("valid_data", {})
-        if args.synthetic or args.synthetic_eval:
+        if any(spec.get("planted")
+               for spec in (config.train_data_list or [])):
+            # planted integration run: held-out planted eval sets, scored
+            # on the 4 planted attributes (data/planted.py)
+            from vit_exp_tpu.data import planted
+
+            cls_ds = planted.PlantedInferenceDataset(16, arch=config.arch)
+            seg_ds = planted.PlantedSegInferenceDataset(8, arch=config.arch)
+            if config.ct_clip_arch.use_open_seg:
+                open_ds = planted.PlantedOpenSegDataset(
+                    2, arch=config.arch, tokenizer=tokenizer,
+                    max_text_len=64)
+            cls_pathologies = list(planted.PLANTED_ATTRS)
+            cls_max_text_len = 64
+        elif args.synthetic or args.synthetic_eval:
             from vit_exp_tpu.data.synthetic import (
                 SyntheticCTDataset,
                 SyntheticInferenceDataset,
@@ -233,6 +270,8 @@ def main(argv=None):
         hooks = build_eval_hooks(
             config, model, tokenizer, cls_dataset=cls_ds,
             seg_dataset=seg_ds, open_seg_dataset=open_ds,
+            cls_pathologies=cls_pathologies,
+            cls_max_text_len=cls_max_text_len,
         )
 
     resume = -1 if args.auto_resume else args.resume

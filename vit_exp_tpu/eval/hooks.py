@@ -69,17 +69,23 @@ def build_eval_hooks(
     seg_dataset=None,
     open_seg_dataset=None,
     results_folder: Optional[str] = None,
+    cls_pathologies=None,
+    cls_max_text_len: int = 512,
 ) -> Dict[str, Dict[str, Callable]]:
     """Resolve config.valid_test_list / sample_test_list names.
 
     Returns {"eval_hooks": {...}, "sample_hooks": {...}} for CTClipTrainer.
-    """
+    cls_pathologies/cls_max_text_len override the zero-shot hook's label
+    set (default: the standard 18) — the planted integration runs score
+    the 4 planted attributes instead."""
     eval_hooks: Dict[str, Callable] = {}
     sample_hooks: Dict[str, Callable] = {}
     for name in config.valid_test_list or []:
         if "zero_shot_cls" in name and cls_dataset is not None:
             eval_hooks[name] = make_zero_shot_cls_hook(
-                model, tokenizer, cls_dataset
+                model, tokenizer, cls_dataset,
+                pathologies=cls_pathologies,
+                max_text_len=cls_max_text_len,
             )
         elif "seg_test" in name and seg_dataset is not None:
             eval_hooks[name] = make_seg_dice_hook(model, seg_dataset)
