@@ -150,23 +150,35 @@ def planted_main(task: str = "cls"):
     # defaults ≡ reference create_head, ct_clip.py:736-750); factor-2
     # strided downsample exercises the ct_clip.py:1101-1106 quirk while
     # keeping the (B, L, h) similarity tensor small
+    # openseg demo loss: tversky (one of the reference's seven arms) — the
+    # first on-chip run with cos_sim_l2 found the all-background trivial
+    # optimum (loss 0.011, dice EXACTLY 0: the L2 on a ~99%-zero target
+    # pushes _sim01 below the 0.5 eval threshold for every voxel); the
+    # tiny-scale A/B of the imbalance-robust arms measured tversky 0.311
+    # vs weighted_bce 0.257 vs cos_sim_l2's degenerate 0 (2026-08-21).
     openseg_arch = {
         "use_open_seg": True,
         "open_seg_loss_type": os.environ.get("CONV_OPENSEG_LOSS",
-                                             "cos_sim_l2"),
+                                             "tversky_loss"),
         "open_seg_loss_down_factor": 2,
     }
     config = ExperimentConfig.from_dict({
         "random_seed": 0,
         "results_folder": out,
         "trainer": {
-            # 2e-4 with a short linear warmup: the run-6 curve at constant
-            # 1e-4 plateaued from step ~100 (0.075 → 0.060 over 300 steps,
-            # 1.9 nats above the 4-bit InfoNCE floor) — optimization-, not
-            # signal-limited.  Warmup keeps the higher peak stable at
-            # dim 384 (max_grad_norm 1.0 is the backstop).
-            "lr": float(os.environ.get("CONV_LR", 2e-4)),
-            "warmup_steps": int(os.environ.get("CONV_WARMUP", 30)),
+            # cls: lr 1e-4 — the tiny-scale A/B (2026-08-21) measured
+            # lr 2e-4 COLLAPSING zero-shot transfer (0.532 vs 0.758 at
+            # identical ~0.77 image probes, and the 2e-4 run had the LOWER
+            # train loss): the higher lr overfits the text tower to the
+            # 4-sentence training reports and the single-sentence eval
+            # prompts stop transferring.  The run-6 plateau is attacked
+            # with MORE STEPS, not more lr.  seg/openseg: 2e-4 — pure
+            # voxel losses, no prompt-transfer at stake, and the higher lr
+            # fits the (from-scratch) seg heads faster.
+            "lr": float(os.environ.get(
+                "CONV_LR", 2e-4 if task in ("seg", "openseg") else 1e-4)),
+            "warmup_steps": int(os.environ.get(
+                "CONV_WARMUP", 30 if task in ("seg", "openseg") else 0)),
             "wd": 0.01,
             "num_train_steps": steps,
             "max_grad_norm": 1.0,
