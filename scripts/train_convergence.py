@@ -233,10 +233,14 @@ def planted_main(task: str = "cls"):
         # consistently INVERTED, all four attrs below chance).  Keeping
         # every negative forces "not" to be load-bearing.  Knob retained
         # for experiments.
+        # CONV_DROP_ANY: symmetric per-sentence dropout (default OFF) —
+        # the in-distribution fix for the report→single-prompt transfer
+        # gap that does NOT de-load "not" (see planted_report docstring)
         train_ds = PlantedCTDataset(
             train_n, arch=config.arch, tokenizer=tokenizer,
             max_text_len=64, seed=0,
-            drop_neg_p=float(os.environ.get("CONV_DROP_NEG", 0.0)))
+            drop_neg_p=float(os.environ.get("CONV_DROP_NEG", 0.0)),
+            drop_any_p=float(os.environ.get("CONV_DROP_ANY", 0.0)))
     print(f"planted[{task}]({size}): dim {arch['dim']}/"
           f"{arch['transformer_blocks']} blocks, {steps} steps, "
           f"attn={attn_impl} ff={ff_impl}, bound={bound}", flush=True)

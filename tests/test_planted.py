@@ -96,6 +96,39 @@ def test_report_order_is_shuffled_per_sample():
     assert len(first_attrs) >= 3, first_attrs
 
 
+def test_drop_any_sentence_dropout():
+    """drop_any_p drops sentences SYMMETRICALLY (positives and negatives
+    alike — unlike drop_neg_p, which de-loads the word 'not'; see the
+    planted_report docstring), always keeps at least one sentence, and
+    requires a seeded rng."""
+    import numpy as np
+    import pytest
+
+    from vit_exp_tpu.data.planted import planted_report
+
+    labels = [1, 0, 1, 0]
+    with pytest.raises(ValueError):
+        planted_report(labels, drop_any_p=0.5)
+
+    rng = np.random.default_rng(0)
+    lengths, pos_drops, neg_drops = set(), 0, 0
+    for _ in range(200):
+        text = planted_report(labels, rng=rng, drop_any_p=0.5)
+        sents = [s for s in text.split(".") if s.strip()]
+        assert 1 <= len(sents) <= 4
+        lengths.add(len(sents))
+        pos_drops += 2 - sum("not" not in s for s in sents)
+        neg_drops += 2 - sum("not" in s for s in sents)
+    assert len(lengths) >= 3          # report length really varies
+    assert pos_drops > 0 and neg_drops > 0   # both classes get dropped
+    # symmetric: neither class is preferentially dropped
+    assert 0.5 < pos_drops / neg_drops < 2.0
+
+    # p=0 keeps every sentence
+    text = planted_report(labels, rng=np.random.default_rng(1))
+    assert sum(1 for s in text.split(".") if s.strip()) == 4
+
+
 def test_label_balance():
     """Both classes occur for every attribute over a modest sample — the
     AUROC eval needs non-degenerate labels."""

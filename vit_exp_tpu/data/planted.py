@@ -86,7 +86,8 @@ _APPEARANCE = (
 def planted_report(labels: Sequence[int],
                    attrs: Sequence[str] = PLANTED_ATTRS,
                    rng: np.random.Generator | None = None,
-                   drop_neg_p: float = 0.0) -> str:
+                   drop_neg_p: float = 0.0,
+                   drop_any_p: float = 0.0) -> str:
     """Report text = concatenation of the zero-shot prompt sentences.
 
     With `rng`, the sentence ORDER is shuffled per sample.  This matters
@@ -104,18 +105,33 @@ def planted_report(labels: Sequence[int],
     single-sentence eval prompts length-OOD for the text tower.  Dropping
     negatives varies report length/content per sample WITHOUT adding label
     collisions (the positive-sentence set still determines the label
-    vector exactly).  At least one sentence is always kept."""
+    vector exactly).  At least one sentence is always kept.
+
+    CAUTION (measured, BENCH_NOTES run-6 A/B): drop_neg_p > 0 makes the
+    positive-sentence set alone label-determining, the optimal contrastive
+    text encoder then IGNORES the word "not", and zero-shot transfer
+    INVERTS (0.378 vs 0.772).  `drop_any_p` is the symmetric variant that
+    avoids this: each sentence — positive or negative alike — drops with
+    that probability, so negations stay load-bearing (a kept negative
+    sentence still must align with absence) while report length/content
+    varies and single-sentence eval prompts become in-distribution.  At
+    least one sentence is always kept."""
     sentences = [
         f"{a} is present." if y else f"{a} is not present."
         for a, y in zip(attrs, labels)
     ]
-    if drop_neg_p > 0 and rng is None:
-        raise ValueError("drop_neg_p > 0 requires rng (per-sample sentence "
-                         "dropping must be seeded)")
+    if (drop_neg_p > 0 or drop_any_p > 0) and rng is None:
+        raise ValueError("sentence dropping (drop_neg_p/drop_any_p > 0) "
+                         "requires rng (must be seeded per sample)")
     if rng is not None and drop_neg_p > 0:
         kept = [s for s, y in zip(sentences, labels)
                 if y or rng.uniform() >= drop_neg_p]
         if not kept:  # all-absent sample with every negative dropped
+            kept = [sentences[int(rng.integers(len(sentences)))]]
+        sentences = kept
+    if rng is not None and drop_any_p > 0:
+        kept = [s for s in sentences if rng.uniform() >= drop_any_p]
+        if not kept:
             kept = [sentences[int(rng.integers(len(sentences)))]]
         sentences = kept
     if rng is not None:
@@ -170,7 +186,7 @@ class PlantedCTDataset:
     def __init__(self, n: int = 64, *, arch: ArchConfig | None = None,
                  tokenizer=None, max_text_len: int = 64, seed: int = 0,
                  attrs: Sequence[str] = PLANTED_ATTRS,
-                 drop_neg_p: float = 0.0):
+                 drop_neg_p: float = 0.0, drop_any_p: float = 0.0):
         self.n = n
         self.arch = arch or ArchConfig()
         self.tokenizer = tokenizer
@@ -178,6 +194,7 @@ class PlantedCTDataset:
         self.seed = seed
         self.attrs = list(attrs)
         self.drop_neg_p = drop_neg_p
+        self.drop_any_p = drop_any_p
 
     def __len__(self):
         return self.n
@@ -187,7 +204,8 @@ class PlantedCTDataset:
         a = self.arch
         labels = _labels_for(rng, len(self.attrs))
         text = planted_report(labels, self.attrs, rng=rng,
-                              drop_neg_p=self.drop_neg_p)
+                              drop_neg_p=self.drop_neg_p,
+                              drop_any_p=self.drop_any_p)
         item: Dict = {
             "image": planted_volume(
                 rng, labels, (a.temporal_size, a.image_size, a.image_size)),
