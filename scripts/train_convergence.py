@@ -156,10 +156,19 @@ def planted_main(task: str = "cls"):
     # pushes _sim01 below the 0.5 eval threshold for every voxel); the
     # tiny-scale A/B of the imbalance-robust arms measured tversky 0.311
     # vs weighted_bce 0.257 vs cos_sim_l2's degenerate 0 (2026-08-21).
+    # tversky α/β flipped from the SMP default (0.3/0.7) to 0.6/0.4: the
+    # run-2/3 on-chip diagnostics measured recall 97.5% with predictions
+    # 3× OVERSIZED (FP-lenient α=0.3 → systematic over-segmentation into
+    # the 2σ intensity halo); penalizing FP more shrinks predictions
+    # toward the 1.5σ mask.
     openseg_arch = {
         "use_open_seg": True,
         "open_seg_loss_type": os.environ.get("CONV_OPENSEG_LOSS",
                                              "tversky_loss"),
+        "open_seg_loss_hyper_config": {
+            "alpha": float(os.environ.get("CONV_TVERSKY_ALPHA", 0.6)),
+            "beta": float(os.environ.get("CONV_TVERSKY_BETA", 0.4)),
+        },
         "open_seg_loss_down_factor": 2,
     }
     config = ExperimentConfig.from_dict({

@@ -250,7 +250,18 @@ class PlantedInferenceDataset:
 # planted SEGMENTATION task — lesion blobs at UNIFORM random locations
 # ---------------------------------------------------------------------------
 
-PLANTED_STRUCTS: Tuple[str, ...] = ("hyperdense lesion", "hypodense lesion")
+# class names are LEXICALLY distinct whole words ("bright"/"dark"), not
+# subword variants: the first on-chip openseg run used "hyperdense
+# lesion"/"hypodense lesion" and the two prompt embeddings COLLAPSED —
+# the prediction maps were voxel-identical (126,424 vs 126,422 predicted
+# voxels over 8 volumes), firing on BOTH blobs, because a random-init
+# 4-layer BERT's CLS barely separates prompts differing in one wordpiece
+# ('hyper'/'hypo') and the cosine-sim gradient then has no text-side
+# traction.  Real open-vocab usage has a PRETRAINED text tower where
+# near-synonym prompts are already separated; distinct words keep the
+# planted demo testing voxel↔prompt alignment, not random-init BERT
+# lexicography.
+PLANTED_STRUCTS: Tuple[str, ...] = ("bright lesion", "dark lesion")
 
 # class k adds _SEG_GAIN[k]·blob to the volume: localization must be read
 # from APPEARANCE (bright vs dark), not from a memorizable position
