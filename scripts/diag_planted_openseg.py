@@ -1,5 +1,20 @@
-import os, sys
-sys.path.insert(0, "/root/repo")
+"""Diagnose a planted-openseg checkpoint's prediction surface on chip.
+
+Restores the latest checkpoint under results/planted_openseg (the
+scripts/train_convergence.py `planted_openseg` mid config), computes the
+_sim01 prompt-similarity maps on held-out volumes, and reports: lesion vs
+background sim percentiles, the dice-vs-threshold sweep, and WHERE the
+confident false positives sit (other class's lesion = prompt collapse;
+own-lesion halo = over-segmentation).  This is the diagnostic that pinned
+the run-2/3 0.43-dice plateau (BENCH_NOTES "Seg / openseg twins"): both
+prediction maps voxel-identical + tversky α=0.3 over-segmentation.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/diag_planted_openseg.py
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np, jax, jax.numpy as jnp
 from vit_exp_tpu.core.compile_cache import enable_compilation_cache
 from vit_exp_tpu.core.config import ExperimentConfig
