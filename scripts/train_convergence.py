@@ -156,21 +156,44 @@ def planted_main(task: str = "cls"):
     # pushes _sim01 below the 0.5 eval threshold for every voxel); the
     # tiny-scale A/B of the imbalance-robust arms measured tversky 0.311
     # vs weighted_bce 0.257 vs cos_sim_l2's degenerate 0 (2026-08-21).
-    # tversky α/β flipped from the SMP default (0.3/0.7) to 0.6/0.4: the
-    # run-2/3 on-chip diagnostics measured recall 97.5% with predictions
-    # 3× OVERSIZED (FP-lenient α=0.3 → systematic over-segmentation into
-    # the 2σ intensity halo); penalizing FP more shrinks predictions
-    # toward the 1.5σ mask.
+    # Demo default: the FUSION arm (reference config family
+    # ct_clip_vit_open_seg_fusion_single_cls.yaml) — an MLP on
+    # concat(voxel_emb, prompt_emb) classifies each (voxel, class) pair.
+    # Every COSINE-based arm is structurally unable to pass this demo
+    # with a random-init text tower (measured, BENCH_NOTES): the two
+    # class prompts' CLS embeddings differ by ~0.03% (cos(p0,p1)=1.0000
+    # after 1200-1900 steps across tversky / wbce / clip_loss→tversky
+    # recipes — all plateau at dice ~0.43 with voxel-IDENTICAL class
+    # maps), cosine saturation kills the separating gradient, and
+    # clip_loss's dot-product separation hides in |v| magnitude that the
+    # cosine eval normalizes away.  The fusion MLP amplifies the tiny
+    # prompt difference with learned weights — no cosine geometry
+    # required (the reference's pretrained BERT never faces this; its
+    # prompts start separated).  tversky keeps the 0.6/0.4 α/β fix
+    # (run-2/3 over-segmentation diagnosis) for A/B use.
+    loss_type = os.environ.get("CONV_OPENSEG_LOSS", "fusion_focal_loss")
     openseg_arch = {
         "use_open_seg": True,
-        "open_seg_loss_type": os.environ.get("CONV_OPENSEG_LOSS",
-                                             "tversky_loss"),
-        "open_seg_loss_hyper_config": {
-            "alpha": float(os.environ.get("CONV_TVERSKY_ALPHA", 0.6)),
-            "beta": float(os.environ.get("CONV_TVERSKY_BETA", 0.4)),
-        },
+        "open_seg_loss_type": loss_type,
+        "open_seg_loss_hyper_config": (
+            {"alpha": float(os.environ.get("CONV_TVERSKY_ALPHA", 0.6)),
+             "beta": float(os.environ.get("CONV_TVERSKY_BETA", 0.4))}
+            if loss_type == "tversky_loss" else
+            # focal alpha = POSITIVE-class weight: ~2% positive voxels
+            {"alpha": float(os.environ.get("CONV_FOCAL_ALPHA", 0.75)),
+             "gamma": float(os.environ.get("CONV_FOCAL_GAMMA", 2.0))}
+            if loss_type in ("fusion_focal_loss", "clip_focal_loss")
+            else {}),
         "open_seg_loss_down_factor": 2,
     }
+    if loss_type == "fusion_focal_loss":
+        # reference yaml nesting (config.py::CTClipArchConfig.from_dict);
+        # in_dim = open_seg_head.out_dim + open_text_head.out_dim
+        openseg_arch["fusion_head"] = {
+            "type": "mlp",
+            "mlp": {"n_layers": 2, "in_dim": 32, "mid_dim": 32,
+                    "out_dim": 1},
+        }
     config = ExperimentConfig.from_dict({
         "random_seed": 0,
         "results_folder": out,
@@ -265,6 +288,27 @@ def planted_main(task: str = "cls"):
               flush=True)
         sys.exit(75)
 
+    # Scoring heartbeat: the babysitter (scripts/babysit.py) watches
+    # metrics.jsonl mtime for liveness, but scoring writes no metrics —
+    # a >tight-limit eval would be killed as "wedged" (happened 12:14
+    # 2026-08-21: healthy openseg eval killed at 379 s stale).  Touch the
+    # file every 45 s while scoring, BOUNDED to 25 min so a genuinely
+    # wedged eval still trips the watchdog instead of hanging forever.
+    import threading
+
+    _hb_stop = threading.Event()
+
+    def _heartbeat():
+        deadline = time.time() + 1500
+        mpath = os.path.join(out, "metrics.jsonl")
+        while not _hb_stop.wait(45) and time.time() < deadline:
+            try:
+                os.utime(mpath)
+            except OSError:
+                pass
+
+    threading.Thread(target=_heartbeat, daemon=True).start()
+
     # score with the SERVING kernels the engine defaults to on TPU
     eval_attn = "pallas_static" if on_tpu else "xla"
     eval_model = build_ctclip(config, bert_config=bert_cfg,
@@ -286,13 +330,32 @@ def planted_main(task: str = "cls"):
         factor = config.ct_clip_arch.open_seg_loss_down_factor
         pid = jnp.asarray(train_ds.prompt_ids)
         pmask = jnp.asarray(train_ds.prompt_mask)
+        fusion = config.ct_clip_arch.open_seg_loss_type == "fusion_focal_loss"
 
         @jax.jit
         def _open_dice(p, video, mask):
             o = eval_model.apply({"params": p}, video, pid, pmask, factor,
                                  method=CTCLIP.open_seg_forward)
-            pred = (_sim01(o["seg_preds"], o["prompt_logits"])
-                    >= 0.5).astype(jnp.float32)          # (B, L, C)
+            if fusion:
+                # the fusion arm's own prediction surface: sigmoid of the
+                # fusion MLP on concat(voxel_emb, prompt_emb) ≥ 0.5 —
+                # exactly what fusion_focal_loss trains
+                sp, pl = o["seg_preds"], o["prompt_logits"]
+                B, L, C = sp.shape[0], sp.shape[1], pl.shape[1]
+                cat = jnp.concatenate([
+                    jnp.broadcast_to(sp[:, :, None, :],
+                                     (B, L, C, sp.shape[-1])),
+                    jnp.broadcast_to(pl[:, None, :, :],
+                                     (B, L, C, pl.shape[-1])),
+                ], axis=-1)
+                logit = eval_model.apply(
+                    {"params": p}, cat.reshape(-1, cat.shape[-1]),
+                    method=CTCLIP.apply_fusion_head)
+                pred = (jax.nn.sigmoid(logit.astype(jnp.float32))
+                        .reshape(B, L, C) >= 0.5).astype(jnp.float32)
+            else:
+                pred = (_sim01(o["seg_preds"], o["prompt_logits"])
+                        >= 0.5).astype(jnp.float32)          # (B, L, C)
             m = mask[:, :, ::factor, ::factor, ::factor].astype(jnp.float32)
             b, c = m.shape[:2]
             t = m.transpose(0, 2, 3, 4, 1).reshape(b, -1, c)
