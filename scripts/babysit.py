@@ -123,10 +123,16 @@ def probe(timeout_s: float = 75.0) -> bool:
 
 
 def _mtime(path: str) -> float | None:
+    """mtime of the metrics file, or None when it carries no liveness
+    signal yet: trainers CREATE an empty metrics.jsonl at init, minutes
+    before the first compiled step writes a row — a zero-size file must
+    not flip the watchdog to the tight leash (measured: two healthy runs
+    killed at ~380 s stale mid-compile, 2026-08-21)."""
     try:
-        return os.stat(path).st_mtime
+        st = os.stat(path)
     except OSError:
         return None
+    return st.st_mtime if st.st_size > 0 else None
 
 
 def run_task(cmd: list[str], metrics: str, *, log, max_attempts: int = 60,

@@ -94,9 +94,11 @@ class TestRunTask:
         script = tmp_path / "task.py"
         script.write_text("import sys; sys.exit(1)\n")
         lines, log = self._log()
+        # generous staleness windows: on a loaded 1-core CI host python
+        # startup can exceed a small grace and turn rc=1 into a kill+retry
         rc = babysit.run_task(
             [sys.executable, str(script)], str(tmp_path / "m.jsonl"),
-            log=log, probe_fn=None, poll_s=0.05, grace=5.0, tight=5.0)
+            log=log, probe_fn=None, poll_s=0.05, grace=60.0, tight=60.0)
         assert rc == 1
         assert sum("launch" in l for l in lines) == 1
 
@@ -139,6 +141,18 @@ class TestRunTask:
                 grace=30.0, tight=30.0)
         assert rc == 0
         assert any("probe down" in l for l in lines)
+
+
+def test_empty_metrics_file_is_not_a_liveness_signal(tmp_path):
+    """Trainers create an EMPTY metrics.jsonl at init minutes before the
+    first compiled step writes a row — _mtime must return None for it so
+    the grace (not tight) leash applies during initial compile."""
+    m = tmp_path / "metrics.jsonl"
+    assert babysit._mtime(str(m)) is None          # missing
+    m.write_text("")
+    assert babysit._mtime(str(m)) is None          # created but empty
+    m.write_text('{"step": 1}\n')
+    assert babysit._mtime(str(m)) is not None      # first real row
 
 
 def test_cli_smoke(tmp_path):
