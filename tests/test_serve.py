@@ -387,3 +387,36 @@ def test_zero_shot_cls_cli_mesh(tmp_path):
     run_dir = out / "random_init"
     assert (run_dir / "aurocs.json").exists()
     assert (run_dir / "predicted.npz").exists()
+
+
+def test_zero_shot_cls_cli_planted(tmp_path):
+    """--planted on the classification CLI: the held-out planted eval set
+    (data/planted.py, seed 1) is scored on the 4 planted attributes with
+    64-token prompts — the checkpoint-sweep entry point for planted runs
+    (BENCH_NOTES mixed-run curve)."""
+    import json
+
+    import yaml
+
+    from vit_exp_tpu.cli.run_zero_shot_cls import main as cls_main
+    from vit_exp_tpu.data.planted import PLANTED_ATTRS
+
+    cfg = {
+        "results_folder": str(tmp_path / "run"),
+        "trainer": {"lr": 1e-4},
+        "arch": {"dim": 24, "image_size": 20, "patch_size": 10,
+                 "temporal_size": 20, "temporal_patch_size": 10,
+                 "transformer_blocks": 1, "dim_head": 4, "heads": 2},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out = tmp_path / "zs"
+    cls_main(["--config", str(cfg_path), "--results_folder", str(out),
+              "--planted", "6", "--batch_size", "2", "--no-int8"])
+    run_dir = out / "random_init"
+    assert (run_dir / "aurocs.json").exists()
+    scored = json.loads((run_dir / "aurocs.json").read_text())
+    # scored on the planted attributes, not the 18 CT-RATE pathologies
+    for attr in PLANTED_ATTRS:
+        assert f"{attr}_auc" in scored
+    assert "Cardiomegaly_auc" not in scored

@@ -69,6 +69,12 @@ def main(argv=None):
     parser.add_argument("--reports_csv", default=None)
     parser.add_argument("--labels_csv", default=None)
     parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--planted", type=int, default=0,
+                        help="held-out planted-signal eval set of N volumes "
+                        "(data/planted.py, seed 1 = the singles'/hooks' "
+                        "held-out seed); scores the 4 planted attributes — "
+                        "use to sweep a planted run's checkpoints, e.g. "
+                        "results/planted_mixed_800/checkpoints/ckpt_*")
     parser.add_argument("--torch_ckpt", action="store_true",
                         help="model_path is a reference CTClip.*.pt")
     parser.add_argument("--batch_size", type=int, default=4,
@@ -110,7 +116,15 @@ def main(argv=None):
                          attn_impl=attn_impl, ff_impl=ff_impl,
                          fuse_qkv=attn_impl != "xla")
 
-    if args.synthetic:
+    pathologies, max_text_len = None, 512
+    if args.planted:
+        from vit_exp_tpu.data import planted
+
+        dataset = planted.PlantedInferenceDataset(
+            args.planted, arch=config.arch, seed=1)
+        pathologies = list(planted.PLANTED_ATTRS)
+        max_text_len = 64
+    elif args.synthetic:
         from vit_exp_tpu.data.synthetic import SyntheticInferenceDataset
 
         dataset = SyntheticInferenceDataset(args.synthetic, arch=config.arch)
@@ -159,9 +173,12 @@ def main(argv=None):
         # weights without re-tracing the jitted programs (each remote
         # compile costs 1-2 min on the relay)
         if engine is None:
+            kw = {}
+            if pathologies is not None:
+                kw = dict(pathologies=pathologies, max_text_len=max_text_len)
             engine = ZeroShotClassifier(
                 model, params, tokenizer, batch_size=args.batch_size,
-                mesh=mesh,
+                mesh=mesh, **kw,
             )
         else:
             engine.set_params(params)
